@@ -1,0 +1,154 @@
+"""Codec-law tests mirroring zebra-core/test/Test/Zebra/Serial/Binary/Array.hs.
+
+* round-trip of arbitrary int64 vectors (Array.hs test :41-44)
+* adversarial min/max alternating exact 64-blocks (:46-52)
+* zigzag/unzigzag identity (:55-58)
+* mid64 vs big-integer oracle (:60-67)
+* byte/sized-byte/strings round-trips (:26-39)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from zebra_spark.codec.intcodec import (
+    INT_HEADER_BYTES,
+    bit_length64,
+    mid64,
+    pack_int_array,
+    packed_size,
+    unpack_int_array,
+    unzigzag64,
+    zigzag64,
+)
+from zebra_spark.codec.bytecodec import (
+    pack_byte_array,
+    pack_sized_byte_array,
+    pack_strings,
+    unpack_byte_array,
+    unpack_sized_byte_array,
+    unpack_strings,
+)
+
+I64_MIN = -(2**63)
+I64_MAX = 2**63 - 1
+
+int64s = st.integers(min_value=I64_MIN, max_value=I64_MAX)
+
+
+def roundtrip(values: np.ndarray) -> None:
+    values = np.asarray(values, dtype=np.int64)
+    buf = pack_int_array(values)
+    assert len(buf) == packed_size(values)
+    out, pos = unpack_int_array(buf, len(values))
+    assert pos == len(buf)
+    np.testing.assert_array_equal(out, values)
+
+
+@given(st.lists(int64s, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_arbitrary(xs):
+    roundtrip(np.array(xs, dtype=np.int64))
+
+
+@given(st.integers(min_value=1, max_value=4))
+def test_roundtrip_minmax_adversary(nblocks):
+    # alternating int64 min/max in exact 64-blocks: worst case for packing
+    xs = np.tile(np.array([I64_MIN, I64_MAX], dtype=np.int64), 32 * nblocks)
+    roundtrip(xs)
+
+
+@pytest.mark.parametrize(
+    "xs",
+    [
+        np.array([], dtype=np.int64),
+        np.array([0], dtype=np.int64),
+        np.array([I64_MIN], dtype=np.int64),
+        np.zeros(64, dtype=np.int64),
+        np.zeros(129, dtype=np.int64),
+        np.arange(1000, dtype=np.int64),  # monotone ramp, FoR-friendly
+        -np.arange(200, dtype=np.int64),  # all negative
+        np.full(64, 7, dtype=np.int64),  # constant chunk -> 0-bit pack
+        np.array([1, -1] * 100, dtype=np.int64),
+    ],
+)
+def test_roundtrip_edge_cases(xs):
+    roundtrip(xs)
+
+
+def test_roundtrip_random_big():
+    rng = np.random.default_rng(42)
+    for dtype_hi in (2**8, 2**16, 2**40, 2**63):
+        xs = rng.integers(-dtype_hi, dtype_hi, size=5000).astype(np.int64)
+        roundtrip(xs)
+
+
+def test_lengths_remainder_paths():
+    rng = np.random.default_rng(7)
+    for n in (1, 63, 64, 65, 127, 128, 129, 191, 1000):
+        roundtrip(rng.integers(-(2**31), 2**31, size=n).astype(np.int64))
+
+
+@given(int64s)
+def test_zigzag_identity(x):
+    arr = np.array([x], dtype=np.int64)
+    z = zigzag64(arr)
+    assert z.dtype == np.uint64
+    np.testing.assert_array_equal(unzigzag64(z), arr)
+    # zigzag maps small magnitudes to small unsigned
+    if -100 <= x <= 100:
+        assert int(z[0]) == (2 * x if x >= 0 else -2 * x - 1)
+
+
+@given(int64s, int64s)
+def test_mid64_oracle(x, y):
+    # big-integer oracle: floor midpoint; mid64 is commutative & overflow proof
+    expect = (x + y) >> 1  # python big ints, floor division semantics
+    got = mid64(x, y)
+    assert got == expect
+    assert mid64(y, x) == got
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_bit_length(v):
+    arr = np.array([v], dtype=np.uint64)
+    assert int(bit_length64(arr)[0]) == v.bit_length()
+
+
+def test_packed_size_formula():
+    # 64 identical ints: nbits=0 -> header + 1 nbits byte only
+    xs = np.full(64, 123456, dtype=np.int64)
+    assert len(pack_int_array(xs)) == INT_HEADER_BYTES + 1
+    # remainder-only: n raw 8-byte words
+    xs = np.arange(5, dtype=np.int64)
+    assert len(pack_int_array(xs)) == INT_HEADER_BYTES + 5 * 8
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_byte_array_roundtrip(data):
+    buf = pack_byte_array(data)
+    out, pos = unpack_byte_array(buf, len(data))
+    assert out == data and pos == len(buf)
+    buf2 = pack_sized_byte_array(data)
+    out2, pos2 = unpack_sized_byte_array(buf2)
+    assert out2 == data and pos2 == len(buf2)
+
+
+@given(st.lists(st.binary(max_size=50), max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_strings_roundtrip(strings):
+    lengths = np.array([len(s) for s in strings], dtype=np.int64)
+    concat = b"".join(strings)
+    buf = pack_strings(lengths, concat)
+    out_len, out_bytes, pos = unpack_strings(buf, len(strings))
+    np.testing.assert_array_equal(out_len, lengths)
+    assert out_bytes == concat and pos == len(buf)
+
+
+def test_byte_array_paths():
+    for data in (b"", b"x", b"ab" * 500_000, np.random.default_rng(3).bytes(100_000)):
+        out, _ = unpack_byte_array(pack_byte_array(data), len(data))
+        assert out == data

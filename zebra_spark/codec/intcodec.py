@@ -1,0 +1,252 @@
+"""Reference integer codec: frame-of-reference + zig-zag + BP64 bit-packing.
+
+This is a from-scratch, fully vectorized numpy re-implementation of the
+zebra int-array codec semantics (reference: zebra-core/csrc/zebra_unpack.c:99-162
+``zebra_pack_array`` / :44-97 ``zebra_unpack_array``; Haskell wrapper
+zebra-core/src/Zebra/Serial/Binary/Array.hs:143-184):
+
+* values are split into 64-int chunks;
+* a single frame-of-reference ``offset`` for the WHOLE array is the
+  overflow-proof midpoint ``mid64(min, max)`` (zebra_unpack.c:23-42);
+* each value is ``zigzag64(value - offset)`` (wrapping int64 arithmetic);
+* each 64-int chunk is bit-packed at the width of its largest zig-zagged
+  delta (``nbits`` = bit-length, 0..64), taking exactly ``nbits * 8`` bytes;
+* the ``n mod 64`` remainder is stored as raw little-endian zig-zagged
+  int64s (the doc comment in Array.hs:150-151 says "VByte" but the C code
+  memcpys raw 8-byte words — zebra_unpack.c:149-155; we match the code);
+* wire layout: ``u32 size | i64 offset | nbits (n//64 bytes) | packed parts
+  | remainder`` where ``size`` counts nbits+parts+remainder.
+
+The BP64 *bit order inside a packed chunk* is not observable from the
+reference repo (the kernel lives in the external ``ambiata-anemone``
+library, not vendored), so we define it: integer ``i`` of a chunk occupies
+bits ``[i*nbits, (i+1)*nbits)`` of a little-endian 64-bit-word bitstream.
+The byte SIZE of every chunk is identical to the reference
+(``nbits * 8``), so compressed-size comparisons are exact.
+
+Everything here is wrapping two's-complement int64 arithmetic, matching C.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "zigzag64",
+    "unzigzag64",
+    "mid64",
+    "bit_length64",
+    "pack_int_array",
+    "unpack_int_array",
+    "packed_size",
+    "INT_HEADER_BYTES",
+]
+
+# u32 size + i64 offset
+INT_HEADER_BYTES = 12
+
+_U64 = np.uint64
+_I64 = np.int64
+
+# numpy >= 2 warns on out-of-bound int -> uint conversions in ufuncs; all
+# shifts/masks here are intentionally modular, matching C semantics.
+_ERR = {"over": "ignore"}
+
+
+def zigzag64(x: np.ndarray) -> np.ndarray:
+    """int64 -> uint64 zig-zag: ``(n << 1) ^ (n >> 63)`` (zebra_unpack.c:16-21)."""
+    x = x.astype(_I64, copy=False)
+    with np.errstate(over="ignore"):
+        return (np.left_shift(x, 1) ^ np.right_shift(x, 63)).view(_U64)
+
+
+def unzigzag64(u: np.ndarray) -> np.ndarray:
+    """uint64 -> int64 inverse zig-zag: ``(n >> 1) ^ -(n & 1)`` (zebra_unpack.c:9-14)."""
+    u = u.astype(_U64, copy=False)
+    with np.errstate(over="ignore"):
+        neg = (_U64(0) - (u & _U64(1))).astype(_U64)
+        return (np.right_shift(u, _U64(1)) ^ neg).view(_I64)
+
+
+def mid64(x: int | np.ndarray, y: int | np.ndarray):
+    """Overflow-proof int64 midpoint ``(x & y) + ((x ^ y) >> 1)`` (zebra_unpack.c:23-42)."""
+    xa = np.asarray(x, dtype=_I64)
+    ya = np.asarray(y, dtype=_I64)
+    with np.errstate(over="ignore"):
+        out = (xa & ya) + np.right_shift(xa ^ ya, 1)
+    if np.isscalar(x) or (xa.ndim == 0 and ya.ndim == 0):
+        return int(out)
+    return out
+
+
+def bit_length64(v: np.ndarray) -> np.ndarray:
+    """Exact bit length of uint64 values, vectorized (0 for 0).
+
+    Equivalent to ``64 - clz`` in zebra_pack_array (zebra_unpack.c:134).
+    Float log2 would be wrong near 2**k boundaries, so use shift cascades.
+    """
+    v = v.astype(_U64, copy=True)
+    bits = np.zeros(v.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = v >= (_U64(1) << _U64(shift))
+        bits[mask] += shift
+        v[mask] >>= _U64(shift)
+    bits += (v > 0).astype(np.int64)
+    return bits
+
+
+def _bp64_pack_group(vals: np.ndarray, w: int) -> np.ndarray:
+    """Pack (m, 64) uint64 values (< 2**w each) into (m, w) uint64 words."""
+    m = vals.shape[0]
+    out = np.zeros((m, w), dtype=_U64)
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            start = i * w
+            wi = start >> 6
+            sh = start & 63
+            out[:, wi] |= np.left_shift(vals[:, i], _U64(sh))
+            if sh + w > 64:
+                out[:, wi + 1] |= np.right_shift(vals[:, i], _U64(64 - sh))
+    return out
+
+
+def _bp64_unpack_group(words: np.ndarray, w: int) -> np.ndarray:
+    """Inverse of :func:`_bp64_pack_group`: (m, w) words -> (m, 64) values."""
+    m = words.shape[0]
+    vals = np.empty((m, 64), dtype=_U64)
+    mask = _U64(0xFFFFFFFFFFFFFFFF) if w == 64 else ((_U64(1) << _U64(w)) - _U64(1))
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            start = i * w
+            wi = start >> 6
+            sh = start & 63
+            v = np.right_shift(words[:, wi], _U64(sh))
+            if sh + w > 64:
+                v = v | np.left_shift(words[:, wi + 1], _U64(64 - sh))
+            vals[:, i] = v & mask
+    return vals
+
+
+def _deltas_and_nbits(values: np.ndarray):
+    """Shared by pack and size-estimation: zig-zag deltas + per-chunk widths."""
+    n = len(values)
+    n_parts = n // 64
+    if n == 0:
+        return _I64(0), np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
+    offset = mid64(int(values.min()), int(values.max()))
+    with np.errstate(over="ignore"):
+        deltas = zigzag64(values - _I64(offset))
+    if n_parts:
+        maxd = deltas[: n_parts * 64].reshape(n_parts, 64).max(axis=1)
+        nbits = bit_length64(maxd)
+    else:
+        nbits = np.empty(0, dtype=np.int64)
+    return offset, deltas, nbits
+
+
+def packed_size(values: np.ndarray) -> int:
+    """Exact wire size in bytes of ``pack_int_array(values)`` without packing.
+
+    Used by the codec auto-selector to cost candidates cheaply.
+    """
+    values = np.ascontiguousarray(values, dtype=_I64)
+    n = len(values)
+    n_parts, n_rem = divmod(n, 64)
+    _, _, nbits = _deltas_and_nbits(values)
+    return INT_HEADER_BYTES + n_parts + int(nbits.sum()) * 8 + n_rem * 8
+
+
+def pack_int_array(values: np.ndarray) -> bytes:
+    """Encode an int64 vector to the zebra int-array wire format."""
+    values = np.ascontiguousarray(values, dtype=_I64)
+    n = len(values)
+    n_parts, n_rem = divmod(n, 64)
+    offset, deltas, nbits = _deltas_and_nbits(values)
+
+    parts_total = int(nbits.sum()) * 8
+    parts_buf = np.zeros(parts_total, dtype=np.uint8)
+    if n_parts:
+        chunk_vals = deltas[: n_parts * 64].reshape(n_parts, 64)
+        # byte offset of each chunk inside parts_buf
+        byte_offsets = np.concatenate(([0], np.cumsum(nbits[:-1] * 8)))
+        for w in np.unique(nbits):
+            w = int(w)
+            if w == 0:
+                continue
+            idx = np.nonzero(nbits == w)[0]
+            words = _bp64_pack_group(chunk_vals[idx], w)  # (m, w) uint64
+            le = words.astype("<u8", copy=False).view(np.uint8).reshape(len(idx), w * 8)
+            tgt = (
+                np.repeat(byte_offsets[idx], w * 8)
+                + np.tile(np.arange(w * 8, dtype=np.int64), len(idx))
+            )
+            parts_buf[tgt] = le.ravel()
+
+    remainder = deltas[n_parts * 64 :].astype("<u8", copy=False).view(np.uint8)
+
+    size = n_parts + parts_total + n_rem * 8
+    header = np.empty(INT_HEADER_BYTES, dtype=np.uint8)
+    header[:4] = np.frombuffer(np.uint32(size).astype("<u4").tobytes(), dtype=np.uint8)
+    header[4:12] = np.frombuffer(
+        np.int64(offset).astype("<i8").tobytes(), dtype=np.uint8
+    )
+    return b"".join(
+        (
+            header.tobytes(),
+            nbits.astype(np.uint8).tobytes(),
+            parts_buf.tobytes(),
+            remainder.tobytes(),
+        )
+    )
+
+
+def unpack_int_array(buf: bytes | memoryview, n_elems: int, pos: int = 0):
+    """Decode ``n_elems`` int64s from ``buf`` at ``pos``.
+
+    Returns ``(values, next_pos)``.  Mirrors zebra_unpack_array
+    (zebra_unpack.c:44-97) including the buffer-size validation.
+    """
+    mv = memoryview(buf)
+    size = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
+    offset = int(np.frombuffer(mv[pos + 4 : pos + 12], dtype="<i8")[0])
+    body = np.frombuffer(mv[pos + 12 : pos + 12 + size], dtype=np.uint8)
+
+    n_parts, n_rem = divmod(n_elems, 64)
+    nbits = body[:n_parts].astype(np.int64)
+    parts_total = int(nbits.sum()) * 8
+    expected = n_parts + parts_total + n_rem * 8
+    if expected != size:
+        raise ValueError(
+            f"int_array size mismatch: header says {size}, layout needs {expected}"
+        )
+
+    out_u = np.empty(n_elems, dtype=_U64)
+    if n_parts:
+        parts = body[n_parts : n_parts + parts_total]
+        byte_offsets = np.concatenate(([0], np.cumsum(nbits[:-1] * 8)))
+        chunk_out = out_u[: n_parts * 64].reshape(n_parts, 64)
+        for w in np.unique(nbits):
+            w = int(w)
+            idx = np.nonzero(nbits == w)[0]
+            if w == 0:
+                chunk_out[idx] = 0
+                continue
+            src = (
+                np.repeat(byte_offsets[idx], w * 8)
+                + np.tile(np.arange(w * 8, dtype=np.int64), len(idx))
+            )
+            words = (
+                parts[src]
+                .reshape(len(idx), w * 8)
+                .copy()
+                .view("<u8")
+                .astype(_U64, copy=False)
+            )
+            chunk_out[idx] = _bp64_unpack_group(words, w)
+    if n_rem:
+        rem = body[n_parts + parts_total :]
+        out_u[n_parts * 64 :] = rem.copy().view("<u8").astype(_U64, copy=False)
+
+    with np.errstate(over="ignore"):
+        values = unzigzag64(out_u) + _I64(offset)
+    return values, pos + INT_HEADER_BYTES + size
