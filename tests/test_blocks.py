@@ -1,0 +1,204 @@
+"""Block encode/decode round-trip laws.
+
+Mirrors the reference striping law ``toLogical . fromLogical == id``
+(zebra-core/test/Test/Zebra/Table/Striped.hs:34-43) at the Arrow level:
+``decode_batch(encode_batch(b)) == b`` bit-identically, over random
+schemas/values (F3 in FIXTURES.md) and over the real driver testdata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from zebra_spark.codec.blocks import decode_batch, encode_batch
+
+
+def roundtrip(batch: pa.RecordBatch):
+    payload, meta = encode_batch(batch)
+    out = decode_batch(payload, batch.schema)
+    assert out.schema == batch.schema
+    for name in batch.schema.names:
+        a, b = batch.column(name), out.column(name)
+        assert a.equals(b), f"column {name}: {a} != {b}"
+    assert meta["enc_bytes"] == len(payload)
+    return meta
+
+
+def test_f1_shape_roundtrip():
+    """The BASELINE input_hint shape: (doc_id, tokens, n_tok, source)."""
+    rng = np.random.default_rng(42)
+    n = 1000
+    n_tok = rng.integers(1, 300, size=n)
+    tokens = [rng.integers(0, 50257, size=k).astype(np.int32) for k in n_tok]
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "doc_id": pa.array([f"web-{i:010d}" for i in range(n)]),
+            "tokens": pa.array([t.tolist() for t in tokens], type=pa.list_(pa.int32())),
+            "n_tok": pa.array(n_tok.astype(np.int32)),
+            "source": pa.array(
+                [["web", "code", "books"][i % 3] for i in range(n)]
+            ),
+        }
+    )
+    meta = roundtrip(batch)
+    # selected encoding must not exceed the pure-reference encoding
+    assert meta["enc_bytes"] <= meta["zebra_bytes"] + 64  # framing slack
+    assert meta["enc_bytes"] < meta["raw_bytes"]
+
+
+def test_all_primitive_types():
+    rng = np.random.default_rng(0)
+    n = 500
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "i8": pa.array(rng.integers(-128, 128, n), type=pa.int8()),
+            "i16": pa.array(rng.integers(-30000, 30000, n), type=pa.int16()),
+            "i32": pa.array(rng.integers(-(2**31), 2**31, n), type=pa.int32()),
+            "i64": pa.array(rng.integers(-(2**62), 2**62, n), type=pa.int64()),
+            "u32": pa.array(rng.integers(0, 2**32, n), type=pa.uint32()),
+            "u64": pa.array(
+                rng.integers(0, 2**63, n).astype(np.uint64) * 2, type=pa.uint64()
+            ),
+            "f32": pa.array(rng.normal(size=n).astype(np.float32)),
+            "f64": pa.array(rng.normal(size=n) * 1e300),
+            "b": pa.array(rng.integers(0, 2, n) == 1),
+            "s": pa.array([f"row-{i}" for i in range(n)]),
+            "bin": pa.array([bytes([i % 256, 255]) for i in range(n)], type=pa.binary()),
+            "ts": pa.array(
+                rng.integers(0, 10**15, n), type=pa.timestamp("us")
+            ),
+            "d32": pa.array(rng.integers(0, 20000, n).astype(np.int32), type=pa.date32()),
+        }
+    )
+    roundtrip(batch)
+
+
+def test_special_floats_bit_identical():
+    vals = np.array(
+        [0.0, -0.0, np.inf, -np.inf, np.nan, 1e-308, -1e308, 3.14],
+        dtype=np.float64,
+    )
+    batch = pa.RecordBatch.from_pydict({"f": pa.array(vals)})
+    payload, _ = encode_batch(batch)
+    out = decode_batch(payload, batch.schema)
+    got = out.column("f").to_numpy(zero_copy_only=False)
+    assert got.view(np.int64).tolist() == vals.view(np.int64).tolist()
+
+
+def test_nulls_everywhere():
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "i": pa.array([1, None, 3, None, 5], type=pa.int64()),
+            "f": pa.array([1.5, None, None, 4.0, 5.0], type=pa.float64()),
+            "s": pa.array(["a", None, "ccc", "", None]),
+            "l": pa.array([[1, 2], None, [], [3], None], type=pa.list_(pa.int64())),
+            "ts": pa.array([1, None, 3, 4, None], type=pa.timestamp("us")),
+        }
+    )
+    roundtrip(batch)
+
+
+def test_nested_list_of_list_and_struct():
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "ll": pa.array(
+                [[[1, 2], [3]], [], [[4]], [[], [5, 6]]],
+                type=pa.list_(pa.list_(pa.int64())),
+            ),
+            "st": pa.array(
+                [
+                    {"x": 1, "y": "a"},
+                    {"x": 2, "y": "b"},
+                    {"x": None, "y": None},
+                    {"x": 4, "y": "d"},
+                ],
+                type=pa.struct([("x", pa.int64()), ("y", pa.string())]),
+            ),
+            "ls": pa.array(
+                [["a", "bb"], [], ["ccc"], ["", "e"]], type=pa.list_(pa.string())
+            ),
+        }
+    )
+    roundtrip(batch)
+
+
+def test_empty_batch():
+    schema = pa.schema([("a", pa.int64()), ("s", pa.string())])
+    batch = pa.RecordBatch.from_pydict({"a": [], "s": []}, schema=schema)
+    roundtrip(batch)
+
+
+def test_sliced_arrays():
+    """Arrow slices carry non-zero offsets — buffer math must respect them."""
+    big = pa.record_batch(
+        {
+            "s": pa.array([f"string-{i}" for i in range(1000)]),
+            "l": pa.array([[i, i + 1] for i in range(1000)], type=pa.list_(pa.int64())),
+        }
+    )
+    roundtrip(big.slice(100, 50))
+
+
+@pytest.mark.parametrize(
+    "table", ["lineitem", "documents", "embeddings", "events", "orders"]
+)
+def test_real_testdata_roundtrip(table):
+    t = pq.read_table(f"/root/testdata/sf0.001/{table}.parquet")
+    for batch in t.to_batches(max_chunksize=2000):
+        roundtrip(batch)
+
+
+# F3: random schema/value property (depth <= 2 here; deeper covered above)
+_leaf = st.sampled_from(
+    [pa.int32(), pa.int64(), pa.float64(), pa.string(), pa.bool_()]
+)
+
+
+@st.composite
+def _batches(draw):
+    n = draw(st.integers(min_value=0, max_value=80))
+    n_cols = draw(st.integers(min_value=1, max_value=4))
+    arrays, names = [], []
+    for ci in range(n_cols):
+        t = draw(_leaf)
+        nested = draw(st.booleans())
+        if pa.types.is_integer(t):
+            base = draw(
+                st.lists(
+                    st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        elif pa.types.is_floating(t):
+            base = draw(
+                st.lists(
+                    st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        elif pa.types.is_boolean(t):
+            base = draw(st.lists(st.one_of(st.none(), st.booleans()), min_size=n, max_size=n))
+        else:
+            base = draw(
+                st.lists(st.one_of(st.none(), st.text(max_size=8)), min_size=n, max_size=n)
+            )
+        if nested:
+            # group into a list column with random splits
+            arr = pa.array([([v] if v is not None else []) for v in base], type=pa.list_(t))
+        else:
+            arr = pa.array(base, type=t)
+        arrays.append(arr)
+        names.append(f"c{ci}")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+@given(_batches())
+@settings(max_examples=60, deadline=None)
+def test_random_batches_roundtrip(batch):
+    roundtrip(batch)

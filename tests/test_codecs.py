@@ -1,0 +1,152 @@
+"""Codec-menu + auto-selector laws.
+
+Selector contract (north rule): decode is bit-identical AND selected size
+<= zebra reference codec size for the same column (framing excluded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from zebra_spark.codec import fsst
+from zebra_spark.codec.codecs import (
+    IntCodec,
+    StrCodec,
+    decode_ints,
+    decode_strings,
+    encode_ints,
+    encode_strings,
+    zebra_int_size,
+)
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+def roundtrip_ints(values, expect_codec=None):
+    values = np.asarray(values, dtype=np.int64)
+    codec, payload, meta = encode_ints(values)
+    out, pos = decode_ints(codec, payload, len(values))
+    np.testing.assert_array_equal(out, values)
+    assert pos == len(payload)
+    assert meta["bytes"] <= meta["zebra_bytes"], "selector exceeded zebra bound"
+    assert len(payload) == meta["bytes"]
+    if expect_codec is not None:
+        assert codec == expect_codec, IntCodec.NAMES[codec]
+    return codec, meta
+
+
+@given(st.lists(I64, max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_selector_roundtrip_arbitrary(xs):
+    roundtrip_ints(xs)
+
+
+def test_selector_picks_sensible_codecs():
+    rng = np.random.default_rng(0)
+    # constant column
+    roundtrip_ints(np.full(1000, 42), expect_codec=IntCodec.CONSTANT)
+    # run-heavy column
+    runs = np.repeat(rng.integers(0, 5, size=30), rng.integers(50, 200, size=30))
+    c, _ = roundtrip_ints(runs)
+    assert c in (IntCodec.RLE, IntCodec.CONSTANT)
+    # low-cardinality scattered -> dict or zebra (dict wins when range >> card)
+    vals = rng.choice(np.array([10**12, -(10**14), 3, 77], dtype=np.int64), 2000)
+    c, _ = roundtrip_ints(vals)
+    assert c == IntCodec.DICT
+    # monotone with big base and small steps -> delta
+    ramp = np.cumsum(rng.integers(0, 3, size=5000)) + 10**15
+    c, _ = roundtrip_ints(ramp)
+    assert c == IntCodec.DELTA
+    # uniform random full-range -> zebra fallback
+    rand = rng.integers(-(2**62), 2**62, size=1000)
+    roundtrip_ints(rand, expect_codec=IntCodec.ZEBRA)
+
+
+def test_each_int_codec_decodes():
+    """Force each codec and verify decode, independent of selector choice."""
+    rng = np.random.default_rng(1)
+    vals = np.repeat(rng.integers(0, 9, size=40), rng.integers(1, 60, size=40))
+    for allow in ({IntCodec.ZEBRA}, {IntCodec.RLE}, {IntCodec.DICT}, {IntCodec.DELTA}):
+        codec, payload, _ = encode_ints(vals, allow=allow | {IntCodec.ZEBRA})
+        out, _ = decode_ints(codec, payload, len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+def _mk_strings(strings):
+    lengths = np.array([len(s) for s in strings], dtype=np.int64)
+    return lengths, b"".join(strings)
+
+
+def roundtrip_strings(strings, allow=None, expect_codec=None):
+    lengths, concat = _mk_strings(strings)
+    codec, payload, meta = encode_strings(lengths, concat, allow=allow)
+    out_len, out_bytes, pos = decode_strings(codec, payload, len(strings))
+    np.testing.assert_array_equal(out_len, lengths)
+    assert out_bytes == concat
+    assert pos == len(payload)
+    if allow is None:
+        assert meta["bytes"] <= meta["zebra_bytes"]
+    if expect_codec is not None:
+        assert codec == expect_codec, StrCodec.NAMES[codec]
+    return codec, meta
+
+
+@given(st.lists(st.binary(max_size=30), max_size=80))
+@settings(max_examples=80, deadline=None)
+def test_strings_selector_arbitrary(strings):
+    roundtrip_strings(strings)
+
+
+def test_string_dict_wins_on_low_cardinality():
+    strings = [b"web", b"code", b"books", b"wiki", b"forums"] * 400
+    c, meta = roundtrip_strings(strings)
+    assert c == StrCodec.DICT
+    assert meta["bytes"] < meta["zebra_bytes"]
+
+
+def test_string_fsst_forced_roundtrip():
+    rng = np.random.default_rng(2)
+    words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"compression"]
+    strings = [
+        b" ".join(words[i] for i in rng.integers(0, len(words), size=8))
+        for _ in range(300)
+    ]
+    roundtrip_strings(strings, allow={StrCodec.FSST, StrCodec.ZEBRA})
+
+
+def test_fsst_section_roundtrip():
+    rng = np.random.default_rng(3)
+    base = b"hello world, this is a compressible string! " * 200
+    noisy = bytes(rng.integers(0, 256, size=1000).astype(np.uint8)) + base
+    for data in (base, noisy):
+        sec = fsst.compress(data)
+        assert sec is not None
+        out, pos = fsst.decompress(sec)
+        assert out == data and pos == len(sec)
+        assert len(sec) < len(base) + 1500
+
+
+def test_fsst_escape_run_parsing():
+    # adversarial: data full of 0xFF bytes (escape byte) and repeats
+    data = bytes([255, 255, 254, 255, 1, 2, 3] * 120)
+    sec = fsst.compress(data)
+    if sec is not None:
+        out, _ = fsst.decompress(sec)
+        assert out == data
+
+
+def test_fsst_incompressible_returns_none_or_roundtrips():
+    data = np.random.default_rng(5).bytes(4096)
+    sec = fsst.compress(data)
+    if sec is not None:
+        out, _ = fsst.decompress(sec)
+        assert out == data
+
+
+@pytest.mark.parametrize("n", [0, 1, 63, 64, 65, 1000])
+def test_empty_and_small(n):
+    rng = np.random.default_rng(n)
+    roundtrip_ints(rng.integers(-100, 100, size=n))
+    roundtrip_strings([b"x" * (i % 5) for i in range(n)])

@@ -1,0 +1,304 @@
+"""Striped block encode/decode over Arrow RecordBatches.
+
+Mirrors zebra's schema-directed pre-order column walk
+(zebra-core/src/Zebra/Serial/Binary/Table.hs:32-149 ``bTable``/``getTable``):
+
+* int-like leaves (ints, bool, timestamps, dates)  -> int column
+* doubles/floats -> bit-cast to ints, then int column
+  (``bDoubleArray``, Table.hs:161-169)
+* strings/binary -> lengths + concatenated bytes (``bStrings``, Array.hs:44-68)
+* list<T> -> lengths int column + u64 inner count + recursed child
+  (``Nested``, Striped.hs:117-125 — segmented arrays with nested-length
+  columns; Arrow list arrays are offsets+child, the same layout)
+* struct -> children in order (no bytes of its own, Table.hs:66-67)
+
+Unlike zebra, every leaf goes through the codec auto-selector
+(:mod:`zebra_spark.codec.codecs`), and columns may carry a validity
+(null) vector — zebra has no nulls (it models optionality as enums).
+
+Block wire layout::
+
+    magic 'ZSB1' | u32 n_rows | u16 n_cols | column sections...
+
+Column section::
+
+    u8 flags (bit0 = has nulls)
+    [validity: u8 int-codec | payload]   (if bit0)
+    body by arrow type (see walkers below)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import (
+    IntCodec,
+    decode_ints,
+    decode_strings,
+    encode_ints,
+    encode_strings,
+    zebra_int_size,
+    zebra_strings_size,
+)
+
+__all__ = ["encode_batch", "decode_batch", "BLOCK_MAGIC"]
+
+BLOCK_MAGIC = b"ZSB1"
+
+_I64 = np.int64
+
+# arrow type -> int storage kind
+_INT_CAST = "cast"  # value-preserving cast to int64 (and back)
+_VIEW64 = "view64"  # bit reinterpretation of a 64-bit type
+_VIEW32 = "view32"  # bit reinterpretation of a 32-bit type (float32)
+
+
+def _int_kind(t: pa.DataType):
+    if pa.types.is_float64(t):
+        return _VIEW64
+    if pa.types.is_float32(t):
+        return _VIEW32
+    if pa.types.is_uint64(t):
+        return _VIEW64
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_temporal(t)
+    ):
+        return _INT_CAST
+    return None
+
+
+def _storage_int64(arr: pa.Array) -> np.ndarray:
+    """Null-filled int64 view of an int-like arrow array (bit-preserving)."""
+    t = arr.type
+    kind = _int_kind(t)
+    if arr.null_count:
+        arr = pc.fill_null(arr, pa.scalar(0, t) if not pa.types.is_boolean(t) else False)
+    if kind == _VIEW64:
+        if pa.types.is_float64(t):
+            return arr.to_numpy(zero_copy_only=False).view(_I64)
+        # uint64: wrap-around view
+        return arr.to_numpy(zero_copy_only=False).view(_I64)
+    if kind == _VIEW32:
+        f32 = arr.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+        return f32.view(np.int32).astype(_I64)
+    if pa.types.is_temporal(t):
+        # bit-reinterpret to the storage integer first (date32 -> int32 etc.);
+        # arrow cannot cast every temporal type to int64 directly
+        storage = pa.int32() if t.bit_width == 32 else pa.int64()
+        arr = arr.view(storage)
+    return pc.cast(arr, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+
+
+def _from_storage_int64(vals: np.ndarray, t: pa.DataType, mask) -> pa.Array:
+    """Rebuild an arrow array of type ``t`` from its int64 storage."""
+    if pa.types.is_float64(t):
+        return pa.array(vals.view(np.float64), type=t, mask=mask)
+    if pa.types.is_float32(t):
+        return pa.array(
+            vals.astype(np.int32).view(np.float32), type=t, mask=mask
+        )
+    if pa.types.is_uint64(t):
+        return pa.array(vals.view(np.uint64), type=t, mask=mask)
+    if pa.types.is_boolean(t):
+        return pa.array(vals != 0, type=t, mask=mask)
+    if pa.types.is_temporal(t):
+        storage = pa.int32() if t.bit_width == 32 else pa.int64()
+        arr = pa.array(vals, type=pa.int64(), mask=mask).cast(storage, safe=False)
+        return arr.view(t)
+    arr = pa.array(vals, type=pa.int64(), mask=mask)
+    return arr.cast(t, safe=False)
+
+
+def _binary_parts(arr: pa.Array):
+    """(lengths int64, concat bytes) of a string/binary array, nulls -> len 0."""
+    t = arr.type
+    target = pa.large_binary()
+    if arr.null_count:
+        arr = pc.fill_null(arr, b"" if not pa.types.is_string(t) else "")
+    barr = arr.cast(target)
+    buffers = barr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64)[
+        barr.offset : barr.offset + len(barr) + 1
+    ]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] else np.empty(0, np.uint8)
+    lengths = np.diff(offsets)
+    concat = data[offsets[0] : offsets[-1]].tobytes()
+    return lengths.astype(_I64), concat
+
+
+def _validity_np(arr: pa.Array) -> np.ndarray:
+    return arr.is_valid().to_numpy(zero_copy_only=False)
+
+
+def _bitmap_from_bool(valid: np.ndarray):
+    return pa.array(valid).buffers()[1]
+
+
+class _Sizes:
+    """Accumulates ours-vs-zebra sizes for selector metrics."""
+
+    def __init__(self):
+        self.enc = 0
+        self.zebra = 0
+        self.cols = {}
+
+    def leaf(self, path, meta, extra_zebra=0):
+        self.cols[path] = meta
+        self.enc += meta["bytes"]
+        self.zebra += meta["zebra_bytes"] + extra_zebra
+
+
+def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    t = arr.type
+    flags = 0
+    has_nulls = arr.null_count > 0
+    if has_nulls:
+        flags |= 1
+    out.append(bytes([flags]))
+    if has_nulls:
+        valid = _validity_np(arr).astype(_I64)
+        c, p, m = encode_ints(valid)
+        out.append(bytes([c]))
+        out.append(p)
+        sizes.leaf(path + "#valid", m)
+
+    if _int_kind(t) is not None:
+        vals = _storage_int64(arr)
+        c, p, m = encode_ints(vals)
+        out.append(bytes([c]))
+        out.append(p)
+        sizes.leaf(path, m)
+        return
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
+        t
+    ) or pa.types.is_large_binary(t):
+        lengths, concat = _binary_parts(arr)
+        c, p, m = encode_strings(lengths, concat)
+        out.append(bytes([c]))
+        out.append(p)
+        sizes.leaf(path, m)
+        return
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lengths_arr = pc.list_value_length(arr)
+        if lengths_arr.null_count:
+            lengths_arr = pc.fill_null(lengths_arr, 0)
+        lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
+        child = arr.flatten()  # concatenated values of valid rows only
+        c, p, m = encode_ints(lengths)
+        out.append(bytes([c]))
+        out.append(p)
+        sizes.leaf(path + "#len", m)
+        out.append(np.uint64(len(child)).astype("<u8").tobytes())
+        _encode_column(child, path + ".item", out, sizes)
+        return
+    if pa.types.is_struct(t):
+        for i, field in enumerate(t):
+            _encode_column(arr.field(i), path + "." + field.name, out, sizes)
+        return
+    raise NotImplementedError(f"unsupported arrow type for block encode: {t}")
+
+
+def encode_batch(batch: pa.RecordBatch):
+    """Encode a RecordBatch into one striped block. Returns (payload, meta)."""
+    out: list[bytes] = [
+        BLOCK_MAGIC,
+        np.uint32(batch.num_rows).astype("<u4").tobytes(),
+        np.uint16(batch.num_columns).astype("<u2").tobytes(),
+    ]
+    sizes = _Sizes()
+    for name, col in zip(batch.schema.names, batch.columns):
+        _encode_column(col, name, out, sizes)
+    payload = b"".join(out)
+    meta = {
+        "n_rows": batch.num_rows,
+        "enc_bytes": len(payload),
+        "zebra_bytes": sizes.zebra,
+        "raw_bytes": batch.nbytes,
+        "cols": sizes.cols,
+    }
+    return payload, meta
+
+
+def _decode_column(mv: memoryview, pos: int, t: pa.DataType, n: int):
+    flags = mv[pos]
+    pos += 1
+    mask = None
+    if flags & 1:
+        vc = mv[pos]
+        valid, pos = decode_ints(vc, mv, n, pos + 1)
+        mask = valid == 0  # pa mask marks NULL positions
+
+    if _int_kind(t) is not None:
+        c = mv[pos]
+        vals, pos = decode_ints(c, mv, n, pos + 1)
+        return _from_storage_int64(vals, t, mask), pos
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
+        t
+    ) or pa.types.is_large_binary(t):
+        c = mv[pos]
+        lengths, concat, pos = decode_strings(c, mv, n, pos + 1)
+        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+        validity_buf = _bitmap_from_bool(~mask) if mask is not None else None
+        arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [validity_buf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(concat)],
+            null_count=int(mask.sum()) if mask is not None else 0,
+        )
+        return arr.cast(t), pos
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        c = mv[pos]
+        lengths, pos = decode_ints(c, mv, n, pos + 1)
+        inner_n = int(np.frombuffer(mv[pos : pos + 8], dtype="<u8")[0])
+        pos += 8
+        child, pos = _decode_column(mv, pos, t.value_type, inner_n)
+        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+        if offsets[-1] != inner_n:
+            raise ValueError("list lengths do not sum to child length")
+        validity_buf = _bitmap_from_bool(~mask) if mask is not None else None
+        big = pa.LargeListArray.from_buffers(
+            pa.large_list(child.type),
+            n,
+            [validity_buf, pa.py_buffer(offsets.tobytes())],
+            null_count=int(mask.sum()) if mask is not None else 0,
+            children=[child],
+        )
+        return big.cast(t), pos
+    if pa.types.is_struct(t):
+        children = []
+        for field in t:
+            charr, pos = _decode_column(mv, pos, field.type, n)
+            children.append(charr)
+        arr = pa.StructArray.from_arrays(
+            children, fields=list(t), mask=pa.array(mask) if mask is not None else None
+        )
+        return arr, pos
+    raise NotImplementedError(f"unsupported arrow type for block decode: {t}")
+
+
+def decode_batch(payload, schema: pa.Schema) -> pa.RecordBatch:
+    """Inverse of :func:`encode_batch` for the given arrow schema."""
+    mv = memoryview(payload)
+    if bytes(mv[:4]) != BLOCK_MAGIC:
+        raise ValueError("bad block magic")
+    n_rows = int(np.frombuffer(mv[4:8], dtype="<u4")[0])
+    n_cols = int(np.frombuffer(mv[8:10], dtype="<u2")[0])
+    if n_cols != len(schema):
+        raise ValueError(
+            f"block has {n_cols} columns but schema expects {len(schema)}"
+        )
+    pos = 10
+    arrays = []
+    for field in schema:
+        arr, pos = _decode_column(mv, pos, field.type, n_rows)
+        arrays.append(arr)
+    if pos != len(mv):
+        raise ValueError(f"trailing bytes in block: {len(mv) - pos}")
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)

@@ -1,0 +1,329 @@
+"""Codec menu + entropy/cardinality-driven auto-selector.
+
+The reference (zebra) has exactly ONE int codec — FoR+zigzag+BP64
+(zebra-core/csrc/zebra_unpack.c:99-162) — and ONE string codec — snappy over
+lengths+concat (zebra-core/src/Zebra/Serial/Binary/Array.hs:44-113).  The
+north rule requires green-field extensions: dictionary, RLE, delta and FSST
+codecs with a stats-driven selector.  The contract that keeps the
+"compressed size <= zebra output" bound: the zebra codec is ALWAYS a
+candidate and the selector takes the exact minimum, so a selected payload is
+never larger than the reference payload for the same framing.
+
+Every int codec payload decodes to bit-identical int64s; every string codec
+payload decodes to bit-identical (lengths, concatenated-bytes).
+
+Wire framing (ours, block-internal): ``u8 codec_id | payload``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .intcodec import (
+    INT_HEADER_BYTES,
+    pack_int_array,
+    packed_size,
+    unpack_int_array,
+)
+from .bytecodec import (
+    pack_sized_byte_array,
+    pack_strings,
+    unpack_sized_byte_array,
+    unpack_strings,
+)
+from . import fsst as _fsst
+
+__all__ = [
+    "IntCodec",
+    "StrCodec",
+    "encode_ints",
+    "decode_ints",
+    "encode_strings",
+    "decode_strings",
+    "zebra_int_size",
+    "zebra_strings_size",
+]
+
+_I64 = np.int64
+
+
+class IntCodec:
+    ZEBRA = 0  # reference FoR+zigzag+BP64 — the yardstick and fallback
+    CONSTANT = 1
+    RLE = 2
+    DICT = 3
+    DELTA = 4
+
+    NAMES = {0: "zebra", 1: "constant", 2: "rle", 3: "dict", 4: "delta"}
+
+
+class StrCodec:
+    ZEBRA = 0  # lengths int_array + snappy concat (Array.hs:44-68)
+    DICT = 1  # unique strings + index int column
+    FSST = 2  # BPE-style symbol-table compression + lengths
+
+    NAMES = {0: "zebra-snappy", 1: "dict", 2: "fsst"}
+
+
+def zebra_int_size(values: np.ndarray) -> int:
+    """Reference-codec size for the ``<=`` bound (excl. our 1-byte codec tag)."""
+    return packed_size(values)
+
+
+# ---------------------------------------------------------------------------
+# int codecs
+
+
+def _rle_split(values: np.ndarray):
+    if len(values) == 0:
+        return values, values
+    change = np.empty(len(values), dtype=bool)
+    change[0] = True
+    np.not_equal(values[1:], values[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    run_values = values[starts]
+    run_lengths = np.diff(np.append(starts, len(values))).astype(_I64)
+    return run_values, run_lengths
+
+
+def encode_ints(values: np.ndarray, allow: set[int] | None = None):
+    """Select + encode. Returns ``(codec_id, payload_bytes, meta_dict)``.
+
+    ``meta_dict`` carries selector stats for the per-partition codec metrics
+    required by the north rule.
+    """
+    values = np.ascontiguousarray(values, dtype=_I64)
+    n = len(values)
+
+    def allowed(c):
+        return allow is None or c in allow
+
+    candidates: dict[int, int] = {}
+    zsize = packed_size(values)
+    candidates[IntCodec.ZEBRA] = zsize
+
+    n_runs = None
+    rv = rl = None
+    if n > 0:
+        if allowed(IntCodec.CONSTANT) and values[0] == values[-1]:
+            # cheap pre-check before the full scan
+            if bool((values == values[0]).all()):
+                candidates[IntCodec.CONSTANT] = 8
+
+        if allowed(IntCodec.RLE):
+            rv, rl = _rle_split(values)
+            n_runs = len(rv)
+            if n_runs <= n // 2:
+                candidates[IntCodec.RLE] = (
+                    4 + packed_size(rv) + packed_size(rl)
+                )
+
+        if allowed(IntCodec.DICT) and n >= 64:
+            # sample-gated cardinality estimate: np.unique is O(n log n),
+            # only pay it when a sample looks low-cardinality
+            sample = values[:: max(1, n // 4096)][:4096]
+            if len(np.unique(sample)) <= len(sample) // 2:
+                uniq, inverse = np.unique(values, return_inverse=True)
+                if len(uniq) <= n // 2:
+                    candidates[IntCodec.DICT] = (
+                        4
+                        + packed_size(uniq)
+                        + packed_size(inverse.astype(_I64))
+                    )
+                    dict_uniq, dict_inv = uniq, inverse
+
+        if allowed(IntCodec.DELTA) and n >= 2:
+            # first value kept out of the delta frame so a large base does
+            # not widen the frame-of-reference of the (small) diffs
+            with np.errstate(over="ignore"):
+                deltas = np.subtract(values[1:], values[:-1], dtype=_I64)
+            candidates[IntCodec.DELTA] = 8 + packed_size(deltas)
+
+    codec = min(candidates, key=lambda c: (candidates[c], c))
+    meta = {
+        "codec": IntCodec.NAMES[codec],
+        "n": n,
+        "bytes": candidates[codec],
+        "zebra_bytes": zsize,
+        "n_runs": n_runs,
+    }
+
+    if codec == IntCodec.ZEBRA:
+        payload = pack_int_array(values)
+    elif codec == IntCodec.CONSTANT:
+        payload = np.int64(values[0]).astype("<i8").tobytes()
+    elif codec == IntCodec.RLE:
+        payload = (
+            np.uint32(len(rv)).astype("<u4").tobytes()
+            + pack_int_array(rv)
+            + pack_int_array(rl)
+        )
+    elif codec == IntCodec.DICT:
+        payload = (
+            np.uint32(len(dict_uniq)).astype("<u4").tobytes()
+            + pack_int_array(dict_uniq)
+            + pack_int_array(dict_inv.astype(_I64))
+        )
+    else:  # DELTA
+        payload = np.int64(values[0]).astype("<i8").tobytes() + pack_int_array(
+            deltas
+        )
+    return codec, payload, meta
+
+
+def decode_ints(codec: int, buf, n: int, pos: int = 0):
+    """Inverse of :func:`encode_ints`. Returns ``(values, next_pos)``."""
+    mv = memoryview(buf)
+    if codec == IntCodec.ZEBRA:
+        return unpack_int_array(mv, n, pos)
+    if codec == IntCodec.CONSTANT:
+        v = int(np.frombuffer(mv[pos : pos + 8], dtype="<i8")[0])
+        return np.full(n, v, dtype=_I64), pos + 8
+    if codec == IntCodec.RLE:
+        n_runs = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
+        rv, p = unpack_int_array(mv, n_runs, pos + 4)
+        rl, p = unpack_int_array(mv, n_runs, p)
+        out = np.repeat(rv, rl)
+        if len(out) != n:
+            raise ValueError("RLE run lengths do not sum to row count")
+        return out, p
+    if codec == IntCodec.DICT:
+        n_dict = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
+        uniq, p = unpack_int_array(mv, n_dict, pos + 4)
+        idx, p = unpack_int_array(mv, n, p)
+        return uniq[idx], p
+    if codec == IntCodec.DELTA:
+        first = int(np.frombuffer(mv[pos : pos + 8], dtype="<i8")[0])
+        deltas, p = unpack_int_array(mv, n - 1, pos + 8)
+        out = np.empty(n, dtype=_I64)
+        out[0] = first
+        with np.errstate(over="ignore"):
+            np.cumsum(deltas, dtype=_I64, out=out[1:])
+            out[1:] += _I64(first)
+        return out, p
+    raise ValueError(f"unknown int codec {codec}")
+
+
+# ---------------------------------------------------------------------------
+# string codecs  (a "strings" value = lengths int64[n] + concatenated bytes)
+
+
+def zebra_strings_size(lengths: np.ndarray, concat: bytes) -> int:
+    return len(pack_strings(lengths, concat))
+
+
+def encode_strings(
+    lengths: np.ndarray,
+    concat: bytes,
+    allow: set[int] | None = None,
+):
+    """Select + encode a string column. Returns ``(codec_id, payload, meta)``."""
+    lengths = np.ascontiguousarray(lengths, dtype=_I64)
+    n = len(lengths)
+
+    def allowed(c):
+        return allow is None or c in allow
+
+    zebra_payload = pack_strings(lengths, concat)
+    best = (StrCodec.ZEBRA, zebra_payload)
+    candidates = {StrCodec.ZEBRA: len(zebra_payload)}
+
+    if allowed(StrCodec.DICT) and n >= 16:
+        # low-cardinality detection without materializing python strings:
+        # split via offsets only when a sample repeats
+        offs = np.concatenate(([0], np.cumsum(lengths)))
+        step = max(1, n // 512)
+        sample = {
+            concat[offs[i] : offs[i + 1]] for i in range(0, n, step)
+        }
+        if len(sample) <= max(1, len(range(0, n, step)) // 2):
+            uniq_map: dict[bytes, int] = {}
+            idx = np.empty(n, dtype=_I64)
+            for i in range(n):
+                s = concat[offs[i] : offs[i + 1]]
+                code = uniq_map.setdefault(s, len(uniq_map))
+                idx[i] = code
+            uniq_list = list(uniq_map)
+            u_len = np.array([len(s) for s in uniq_list], dtype=_I64)
+            u_concat = b"".join(uniq_list)
+            icodec, ipayload, _ = encode_ints(idx)
+            payload = (
+                np.uint32(len(uniq_list)).astype("<u4").tobytes()
+                + pack_strings(u_len, u_concat)
+                + bytes([icodec])
+                + ipayload
+            )
+            candidates[StrCodec.DICT] = len(payload)
+            if len(payload) < len(best[1]):
+                best = (StrCodec.DICT, payload)
+
+    # FSST training costs ~hundreds of vectorized passes; only attempt it
+    # when snappy compressed poorly (or the caller forces it via ``allow``)
+    fsst_forced = allow is not None and StrCodec.FSST in allow
+    fsst_worth = (
+        len(concat) >= 256
+        and len(concat) <= (4 << 20)
+        and len(zebra_payload) > 0.6 * (len(concat) + 8 * n)
+    )
+    if allowed(StrCodec.FSST) and len(concat) >= 256 and (fsst_forced or fsst_worth):
+        fs = _fsst.compress(concat)
+        if fs is not None:
+            lcodec, lpayload, _ = encode_ints(lengths)
+            payload = (
+                bytes([lcodec])
+                + np.uint32(len(lpayload)).astype("<u4").tobytes()
+                + lpayload
+                + fs
+            )
+            candidates[StrCodec.FSST] = len(payload)
+            if len(payload) < len(best[1]):
+                best = (StrCodec.FSST, payload)
+
+    codec, payload = best
+    meta = {
+        "codec": StrCodec.NAMES[codec],
+        "n": n,
+        "bytes": len(payload),
+        "zebra_bytes": len(zebra_payload),
+    }
+    return codec, payload, meta
+
+
+def decode_strings(codec: int, buf, n: int, pos: int = 0):
+    """Inverse of :func:`encode_strings` → ``(lengths, concat_bytes, next_pos)``."""
+    mv = memoryview(buf)
+    if codec == StrCodec.ZEBRA:
+        return unpack_strings(mv, n, pos)
+    if codec == StrCodec.DICT:
+        n_dict = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
+        u_len, u_concat, p = unpack_strings(mv, n_dict, pos + 4)
+        icodec = mv[p]
+        idx, p = decode_ints(icodec, mv, n, p + 1)
+        offs = np.concatenate(([0], np.cumsum(u_len)))
+        # gather: lengths per row + concatenated bytes via vectorized copy
+        lengths = u_len[idx]
+        ubytes = np.frombuffer(u_concat, dtype=np.uint8)
+        if len(lengths) and lengths.sum() > 0:
+            src = np.repeat(offs[idx], lengths) + _concat_ranges(lengths)
+            concat = ubytes[src].tobytes()
+        else:
+            concat = b""
+        return lengths, concat, p
+    if codec == StrCodec.FSST:
+        lcodec = mv[pos]
+        lp_len = int(np.frombuffer(mv[pos + 1 : pos + 5], dtype="<u4")[0])
+        lengths, p = decode_ints(lcodec, mv, n, pos + 5)
+        if p != pos + 5 + lp_len:
+            raise ValueError("FSST length-section size mismatch")
+        concat, p = _fsst.decompress(mv, p)
+        if int(lengths.sum()) != len(concat):
+            raise ValueError("FSST lengths do not sum to byte count")
+        return lengths, concat, p
+    raise ValueError(f"unknown string codec {codec}")
+
+
+def _concat_ranges(lengths: np.ndarray) -> np.ndarray:
+    """[3,2] -> [0,1,2,0,1]: per-row arange, vectorized."""
+    total = int(lengths.sum())
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
