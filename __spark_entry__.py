@@ -1,38 +1,206 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full encode→decode round-trip of the documents
+table through the striped block codec (bit-identical law).
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline operators).  ``oracle_sql()`` — DuckDB equivalents;
+omitted for ops whose semantics are not SQL-expressible (codec internals,
+LSH heuristics) → driver records rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+
+    df = _load(spark, sf_dir, name)
+    return decode_df(encode_df(df, rows_per_block=1 << 16), schema=df.schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode+decode round-trip at sf0.001; driver checks rows>0."""
+    return _roundtrip(spark, "/root/testdata/sf0.001", "documents")
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_roundtrip(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _roundtrip(spark, sf_dir, name)
+
+    return q
+
+
+def _q_token_count(spark, sf_dir):
+    from zebra_spark.functions.text import token_count
+
+    return token_count(_load(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from zebra_spark.functions.text import fingerprint
+
+    return fingerprint(_load(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    from zebra_spark.functions.text import quality_score
+
+    return quality_score(_load(spark, sf_dir, "documents"))
+
+
+def _q_lang_stats(spark, sf_dir):
+    from zebra_spark.functions.text import lang_stats
+
+    return lang_stats(_load(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from zebra_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from zebra_spark.functions.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_lsh_ann(spark, sf_dir):
+    from zebra_spark.functions.similarity import lsh_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return lsh_ann_topk(emb, queries, dim=dim, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_minhash(spark, sf_dir):
+    from zebra_spark.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_load(spark, sf_dir, "documents"))
+
+
+def _q_simhash(spark, sf_dir):
+    from zebra_spark.functions.dedup import simhash
+
+    return simhash(_load(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from zebra_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _q_encode_summary(spark, sf_dir):
+    from zebra_spark.operators.encode import encode_df
+
+    docs = _load(spark, sf_dir, "lineitem")
+    blocks = encode_df(docs, rows_per_block=1 << 16)
+    return blocks.groupBy().agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.sum("zebra_bytes").alias("zebra_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs: dict[str, Callable] = {
+        f"roundtrip_{t}": _q_roundtrip(t)
+        for t in ("documents", "lineitem", "orders", "events", "embeddings", "part")
+    }
+    qs.update(
+        {
+            "token_count": _q_token_count,
+            "fingerprint": _q_fingerprint,
+            "quality_score": _q_quality,
+            "lang_stats": _q_lang_stats,
+            "dedup_exact": _q_dedup_exact,
+            "ann_topk": _q_ann_topk,
+            "lsh_ann_topk": _q_lsh_ann,
+            "minhash_lsh": _q_minhash,
+            "simhash": _q_simhash,
+            "ngram_jaccard": _q_ngram_jaccard,
+            "encode_summary": _q_encode_summary,
+        }
+    )
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {
+        "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "roundtrip_lineitem": "SELECT * FROM lineitem",
+        "roundtrip_orders": "SELECT * FROM orders",
+        "roundtrip_events": "SELECT * FROM events",
+        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "roundtrip_part": "SELECT * FROM part",
+        "token_count": (
+            "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "
+            "FROM documents"
+        ),
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "quality_score": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text, "
+            "length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / "
+            "  CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS punct_ratio, "
+            "(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) / "
+            "  CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS space_ratio, "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g')) / "
+            "  CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS upper_ratio "
+            "FROM documents"
+        ),
+        "lang_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "MIN(doc_id) AS min_doc_id, MAX(n_chars) AS max_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS digest, MIN(doc_id) AS keeper, "
+            "COUNT(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY digest"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
+            "WHERE vec_id < 10), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  list_sum(list_transform(list_zip(q.qvec, e.embedding), "
+            "    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            "  (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "   sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) "
+            "  AS cos_sim "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank "
+            "FROM scored) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked "
+            "WHERE rank <= 5 ORDER BY query_id, rank"
+        ),
+    }
+    return sql

@@ -1,0 +1,62 @@
+"""Distributed decode + verify: blocks DataFrame -> original DataFrame.
+
+Spark analogue of `zebra export` (zebra-cli/src/Zebra/Command/Export.hs:
+114-143): each task decodes its block rows back to Arrow batches.  Fully
+parallel — a block is self-describing (schema + payload + crc32).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql.pandas.types import from_arrow_schema
+
+from ..codec.blocks import decode_batch
+from ..codec.warmup import warm_codec
+
+
+def _decode_fn(verify_crc: bool):
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        warm_codec()
+        for rb in batches:
+            payloads = rb.column("payload")
+            schemas = rb.column("schema")
+            crcs = rb.column("crc32")
+            ids = rb.column("block_id")
+            for i in range(rb.num_rows):
+                payload = payloads[i].as_py()
+                if verify_crc:
+                    crc = crcs[i].as_py()
+                    if crc is not None and zlib.crc32(payload) != crc:
+                        raise ValueError(
+                            f"crc mismatch in block {ids[i].as_py()}"
+                        )
+                schema = pa.ipc.read_schema(pa.py_buffer(schemas[i].as_py()))
+                yield decode_batch(payload, schema)
+
+    return decode
+
+
+def arrow_schema_of(blocks: DataFrame) -> pa.Schema:
+    """Fetch the (single) arrow schema stored in a blocks DataFrame."""
+    row = blocks.select("schema").head()
+    if row is None:
+        raise ValueError("blocks DataFrame is empty; pass an explicit schema")
+    return pa.ipc.read_schema(pa.py_buffer(row[0]))
+
+
+def decode_df(blocks: DataFrame, schema=None, verify_crc: bool = True) -> DataFrame:
+    """Decode a blocks DataFrame back to the original rows.
+
+    ``schema``: pyspark StructType or pyarrow Schema; fetched from the
+    first block when omitted (one tiny driver-side lookup).
+    """
+    if schema is None:
+        schema = arrow_schema_of(blocks)
+    if isinstance(schema, pa.Schema):
+        schema = from_arrow_schema(schema)
+    return blocks.mapInArrow(_decode_fn(verify_crc), schema=schema)

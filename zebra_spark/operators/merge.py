@@ -1,0 +1,203 @@
+"""Schema-checked union / merge / transmute — zebra's table algebra in Spark.
+
+Reference semantics:
+* ``Logical.merge`` (zebra-core/src/Zebra/Table/Logical.hs:251-335):
+  merging two values under the same key deep-merges collections —
+  Binary/Array concatenate (:254-258), Maps union recursively (:260-261) —
+  while scalar collisions (Int/Double/Enum) are DATA ERRORS (:315-322);
+  zebra never overwrites.
+* ``Merge.Table.unionStriped`` (zebra-core/src/Zebra/Merge/Table.hs:242-251):
+  widen every input to the schema union, then k-way merge by key.
+  Spark replaces the hand-rolled k-way heap with a shuffle:
+  ``unionByName(allowMissingColumns)`` + ``groupBy(key)`` + merge-agg.
+* ``MaximumRowSize`` (Merge/Table.hs:43-46,157-163): keys whose merged
+  value exceeds a byte cap are DROPPED (bounds executor memory on giant
+  keys) and counted — the cap property (capped output is a submap of
+  uncapped output) is tested like Test/Zebra/Merge/Table.hs:164-177.
+* ``Striped.transmute`` (Striped.hs:782-882): adapt a table to a
+  compatible wider schema; missing fields fill with defaults only when
+  allowed, otherwise error.
+
+Scale: one shuffle on the merge key; collection merge is a map-side
+combinable aggregation; AQE splits skewed keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def _default_for(dtype: T.DataType):
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.lit(0).cast(dtype)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return F.lit(0.0).cast(dtype)
+    if isinstance(dtype, T.StringType):
+        return F.lit("")
+    if isinstance(dtype, T.BinaryType):
+        return F.lit(b"")
+    if isinstance(dtype, T.BooleanType):
+        return F.lit(False)
+    if isinstance(dtype, T.ArrayType):
+        return F.array().cast(dtype)
+    if isinstance(dtype, T.MapType):
+        return F.map_from_arrays(F.array(), F.array()).cast(dtype)
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[_default_for(f.dataType).alias(f.name) for f in dtype.fields]
+        )
+    return F.lit(None).cast(dtype)
+
+
+def transmute(df: DataFrame, target: T.StructType, allow_default: bool = True) -> DataFrame:
+    """Adapt ``df`` to ``target`` schema (Striped.hs:782-882 semantics).
+
+    Missing columns are filled with typed defaults when ``allow_default``
+    (zebra AllowDefault), otherwise raise.  Extra columns are an error —
+    zebra transmute never drops data silently.
+    """
+    have = {f.name: f for f in df.schema.fields}
+    want = {f.name for f in target.fields}
+    extra = set(have) - want
+    if extra:
+        raise ValueError(f"transmute: input has columns not in target: {sorted(extra)}")
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif allow_default:
+            cols.append(_default_for(f.dataType).alias(f.name))
+        else:
+            raise ValueError(
+                f"transmute: missing column {f.name} and defaults not allowed "
+                "(DenyDefault)"
+            )
+    return df.select(*cols)
+
+
+def schema_union(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Least upper bound of two schemas (Schema.hs:401-533): equal-named
+    fields must match exactly; the union has all fields of both."""
+    fields = {f.name: f for f in a.fields}
+    out = list(a.fields)
+    for f in b.fields:
+        if f.name in fields:
+            if fields[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema union: column {f.name} has incompatible types "
+                    f"{fields[f.name].dataType} vs {f.dataType}"
+                )
+        else:
+            out.append(f)
+    return T.StructType(out)
+
+
+def union_tables(dfs: list[DataFrame]) -> DataFrame:
+    """unionStriped's widening union: every input transmuted to the schema
+    union, then unioned (Merge/Table.hs:224-251)."""
+    target = reduce(schema_union, (df.schema for df in dfs))
+    return reduce(
+        lambda x, y: x.unionByName(y), (transmute(df, target) for df in dfs)
+    )
+
+
+def _merge_agg(field: T.StructField, order_col: str):
+    """Per-column merge aggregation under a key (Logical.hs:251-335)."""
+    name = field.name
+    if isinstance(field.dataType, T.ArrayType):
+        # concatenate in deterministic input order (zebra concatenates in
+        # stream order; shuffle loses order, so we sort by input index)
+        return F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(name).alias("v")))
+                ),
+                lambda s: s["v"],
+            )
+        ).alias(name)
+    if isinstance(field.dataType, T.MapType):
+        return F.aggregate(
+            F.collect_list(name),
+            F.map_from_arrays(F.array(), F.array()).cast(field.dataType),
+            lambda acc, m: F.map_concat(acc, F.map_filter(m, lambda k, v: ~F.array_contains(F.map_keys(acc), k))),
+        ).alias(name)
+    if isinstance(field.dataType, T.StringType) or isinstance(
+        field.dataType, T.BinaryType
+    ):
+        # zebra Binary merge = concat (Logical.hs:254-255)
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(name).alias("v")))
+                ),
+                lambda s: s["v"],
+            ),
+            "",
+        ).alias(name)
+    # scalar: collision is a data error (Logical.hs:315-322).  The
+    # assert_true is woven into the value expression (NULL on success, via
+    # coalesce) so Catalyst cannot prune it away.
+    check = F.assert_true(
+        F.size(F.collect_set(name)) <= 1,
+        F.lit(f"merge collision on scalar column {name}"),
+    )
+    return F.when(
+        F.coalesce(check.cast("int"), F.lit(0)) == 0, F.first(name)
+    ).alias(name)
+
+
+def merge_tables(
+    dfs: list[DataFrame],
+    key_cols: list[str],
+    max_row_bytes: int | None = None,
+):
+    """K-way merge by key with zebra merge semantics.
+
+    Returns ``(merged_df, drop_metrics_df)``; ``drop_metrics_df`` counts
+    keys dropped by ``max_row_bytes`` (MaximumRowSize semantics) — None cap
+    means nothing is dropped and the metrics frame is empty.
+    """
+    tagged = [
+        df.withColumn("__src", F.lit(i).cast("int")) for i, df in enumerate(dfs)
+    ]
+    u = union_tables(tagged)
+    value_fields = [
+        f
+        for f in u.schema.fields
+        if f.name not in key_cols and f.name != "__src"
+    ]
+    aggs = [_merge_agg(f, "__src") for f in value_fields]
+
+    size_expr = reduce(
+        lambda x, y: x + y,
+        [_row_size_term(f) for f in value_fields],
+        F.lit(0).cast("long"),
+    )
+    merged = u.groupBy(*key_cols).agg(
+        *aggs, F.sum(size_expr).alias("__row_bytes")
+    )
+    if max_row_bytes is None:
+        return merged.drop("__row_bytes"), merged.limit(0).select(
+            *[F.col(c) for c in key_cols], F.col("__row_bytes").alias("row_bytes")
+        )
+    dropped = merged.filter(F.col("__row_bytes") > max_row_bytes).select(
+        *[F.col(c) for c in key_cols], F.col("__row_bytes").alias("row_bytes")
+    )
+    kept = merged.filter(F.col("__row_bytes") <= max_row_bytes).drop("__row_bytes")
+    return kept, dropped
+
+
+def _row_size_term(field: T.StructField):
+    """Rough per-value byte size, mirroring Logical.size (Logical.hs:221-247)."""
+    name = field.name
+    t = field.dataType
+    if isinstance(t, T.ArrayType):
+        return F.coalesce(F.size(name), F.lit(0)).cast("long") * 8 + 8
+    if isinstance(t, (T.StringType, T.BinaryType)):
+        return F.coalesce(F.length(name), F.lit(0)).cast("long") + 8
+    if isinstance(t, T.MapType):
+        return F.coalesce(F.size(name), F.lit(0)).cast("long") * 16 + 8
+    return F.lit(8).cast("long")
