@@ -2,13 +2,21 @@
 
 Protocol (BASELINE.md): deterministic F1 input (FIXTURES.md, seed 42),
 cached to parquet once; encode throughput measured at two parallelism
-levels (local[N] and local[4N]) on the SAME files, one warm-up run
-excluded, best-of-R timed runs; scaling efficiency = (thr_4N / thr_N) / 4.
+levels on the SAME files, one warm-up run excluded per level, best-of-R
+timed runs; scaling efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
+
+The two levels are INTERLEAVED (lo, hi, lo, hi, ...) because this
+sandbox's CPU budget varies on multi-minute timescales — interleaving
+gives both levels the same throttle regimes; best-of-R then compares
+like with like.  The encode uses the direct-read path
+(zebra_spark.sources.parquet_direct) — workers read their parquet splits
+with pyarrow instead of shipping every row JVM->Python, which is also the
+right layout at cluster scale.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), ZS_BENCH_ROWS (default 1_000_000),
-ZS_BENCH_ITERS (default 3), ZS_BENCH_SKIP_SCALING=1 to skip the
-two-parallelism runs (quick mode).
+ZS_BENCH_ITERS (default 3), ZS_BENCH_LO / ZS_BENCH_HI (parallelism pair,
+default CPUS//4 and CPUS), ZS_BENCH_SKIP_SCALING=1 to skip scaling runs.
 """
 
 from __future__ import annotations
@@ -26,6 +34,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("ZS_BENCH_ROWS", "1000000"))
 ITERS = int(os.environ.get("ZS_BENCH_ITERS", "3"))
+LO = int(os.environ.get("ZS_BENCH_LO", str(max(2, CPUS // 4))))
+HI = int(os.environ.get("ZS_BENCH_HI", str(CPUS)))
 F1_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench", f"f1_{BENCH_ROWS}.parquet"
 )
@@ -44,14 +54,12 @@ def ensure_f1_input():
     spark.stop()
 
 
-def encode_run(spark):
-    """One full encode pass; returns (seconds, totals-row)."""
-    from zebra_spark.operators.encode import encode_df
+def encode_once(spark):
+    from zebra_spark.sources.parquet_direct import encode_parquet_direct
 
-    df = spark.read.parquet(F1_PATH)
     t0 = time.perf_counter()
     row = (
-        encode_df(df, rows_per_block=1 << 16)
+        encode_parquet_direct(spark, F1_PATH)
         .groupBy()
         .agg(
             F.sum("n_rows").alias("rows"),
@@ -64,35 +72,52 @@ def encode_run(spark):
     return time.perf_counter() - t0, row
 
 
-def throughput_at(n_cpus: int):
+def scaling_runs():
     from zebra_spark.session import get_spark
 
-    spark = get_spark(
-        master=f"local[{n_cpus}]",
-        app_name=f"zs-bench-{n_cpus}",
-        shuffle_partitions=max(8, n_cpus),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    n_tokens = int(
-        spark.read.parquet(F1_PATH).agg(F.sum("n_tok")).collect()[0][0]
-    )
-    encode_run(spark)  # warm-up excluded (worker spin-up + SIMD translation)
-    best = None
-    totals = None
-    for _ in range(ITERS):
-        dt, row = encode_run(spark)
-        if best is None or dt < best:
-            best, totals = dt, row
-    spark.stop()
+    n_tokens = None
+    best = {LO: None, HI: None}
+    totals = {LO: None, HI: None}
+    warmed = set()
+    for it in range(ITERS):
+        for cpus in (LO, HI):
+            spark = get_spark(
+                master=f"local[{cpus}]",
+                app_name=f"zs-bench-{cpus}-{it}",
+                shuffle_partitions=max(8, cpus),
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            if n_tokens is None:
+                n_tokens = int(
+                    spark.read.parquet(F1_PATH).agg(F.sum("n_tok")).collect()[0][0]
+                )
+            if cpus not in warmed:
+                encode_once(spark)  # excluded warm-up per level
+                warmed.add(cpus)
+            dt, row = encode_once(spark)
+            if best[cpus] is None or dt < best[cpus]:
+                best[cpus], totals[cpus] = dt, row
+            spark.stop()
+
+    def level(cpus):
+        return {
+            "cpus": cpus,
+            "sec": round(best[cpus], 3),
+            "tokens_per_sec": round(n_tokens / best[cpus]),
+            "n_tokens": n_tokens,
+            "enc_bytes": totals[cpus]["enc"],
+            "zebra_bytes": totals[cpus]["zebra"],
+            "raw_bytes": totals[cpus]["raw"],
+            "bytes_per_token": round(totals[cpus]["enc"] / n_tokens, 4),
+        }
+
+    lo, hi = level(LO), level(HI)
+    eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / (HI / LO)
     return {
-        "cpus": n_cpus,
-        "sec": round(best, 3),
-        "tokens_per_sec": round(n_tokens / best),
-        "n_tokens": n_tokens,
-        "enc_bytes": totals["enc"],
-        "zebra_bytes": totals["zebra"],
-        "raw_bytes": totals["raw"],
-        "bytes_per_token": round(totals["enc"] / n_tokens, 4),
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
     }
 
 
@@ -113,8 +138,7 @@ def headline_queries():
     spark = get_spark(master=f"local[{CPUS}]", app_name="zs-bench-queries")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    # warm the session + python workers once
-    qs["roundtrip_lineitem"](spark, SF_DIR).count()
+    qs["roundtrip_lineitem"](spark, SF_DIR).count()  # warm workers
     out = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -135,18 +159,13 @@ def main():
         "value": round(sum(queries.values()), 3),
     }
     if os.environ.get("ZS_BENCH_SKIP_SCALING") != "1":
-        lo = throughput_at(max(2, CPUS // 4))
-        hi = throughput_at(CPUS)
-        eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / (
-            hi["cpus"] / lo["cpus"]
+        result["encode"] = scaling_runs()
+        result["value"] = round(
+            result["value"]
+            + result["encode"]["low"]["sec"]
+            + result["encode"]["high"]["sec"],
+            3,
         )
-        result["encode"] = {
-            "low": lo,
-            "high": hi,
-            "scaling_efficiency": round(eff, 3),
-            "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
-        }
-        result["value"] = round(result["value"] + lo["sec"] + hi["sec"], 3)
     print(json.dumps(result))
 
 

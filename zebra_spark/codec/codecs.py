@@ -21,8 +21,10 @@ import numpy as np
 
 from .intcodec import (
     INT_HEADER_BYTES,
+    pack_from_plan,
     pack_int_array,
     packed_size,
+    plan_int_array,
     unpack_int_array,
 )
 from .bytecodec import (
@@ -91,6 +93,10 @@ def encode_ints(values: np.ndarray, allow: set[int] | None = None):
 
     ``meta_dict`` carries selector stats for the per-partition codec metrics
     required by the north rule.
+
+    Costing reuses a single :class:`PackPlan` per candidate (one pass each)
+    and the winner's plan assembles the payload without recomputation.
+    Expensive candidates are gated by cheap sampled stats.
     """
     values = np.ascontiguousarray(values, dtype=_I64)
     n = len(values)
@@ -98,77 +104,107 @@ def encode_ints(values: np.ndarray, allow: set[int] | None = None):
     def allowed(c):
         return allow is None or c in allow
 
-    candidates: dict[int, int] = {}
-    zsize = packed_size(values)
-    candidates[IntCodec.ZEBRA] = zsize
+    zplan = plan_int_array(values)
+    zsize = zplan.size
+    # (size, thunk-producing-payload)
+    candidates: dict[int, tuple[int, object]] = {
+        IntCodec.ZEBRA: (zsize, lambda: pack_from_plan(zplan))
+    }
 
     n_runs = None
-    rv = rl = None
     if n > 0:
-        if allowed(IntCodec.CONSTANT) and values[0] == values[-1]:
-            # cheap pre-check before the full scan
-            if bool((values == values[0]).all()):
-                candidates[IntCodec.CONSTANT] = 8
+        if (
+            allowed(IntCodec.CONSTANT)
+            and zplan.vmin == zplan.vmax
+        ):
+            candidates[IntCodec.CONSTANT] = (
+                8,
+                lambda: np.int64(values[0]).astype("<i8").tobytes(),
+            )
 
-        if allowed(IntCodec.RLE):
-            rv, rl = _rle_split(values)
-            n_runs = len(rv)
-            if n_runs <= n // 2:
-                candidates[IntCodec.RLE] = (
-                    4 + packed_size(rv) + packed_size(rl)
-                )
+        if allowed(IntCodec.RLE) and n >= 64:
+            # sampled run-ratio gate before the full O(n) split
+            sample = values[: 4096]
+            samp_runs = int((sample[1:] != sample[:-1]).sum()) + 1
+            if samp_runs <= len(sample) // 2:
+                rv, rl = _rle_split(values)
+                n_runs = len(rv)
+                if n_runs <= n // 2:
+                    pv, pl = plan_int_array(rv), plan_int_array(rl)
+                    candidates[IntCodec.RLE] = (
+                        4 + pv.size + pl.size,
+                        lambda pv=pv, pl=pl, rv=rv: (
+                            np.uint32(len(rv)).astype("<u4").tobytes()
+                            + pack_from_plan(pv)
+                            + pack_from_plan(pl)
+                        ),
+                    )
 
         if allowed(IntCodec.DICT) and n >= 64:
-            # sample-gated cardinality estimate: np.unique is O(n log n),
-            # only pay it when a sample looks low-cardinality
-            sample = values[:: max(1, n // 4096)][:4096]
-            if len(np.unique(sample)) <= len(sample) // 2:
-                uniq, inverse = np.unique(values, return_inverse=True)
-                if len(uniq) <= n // 2:
-                    candidates[IntCodec.DICT] = (
-                        4
-                        + packed_size(uniq)
-                        + packed_size(inverse.astype(_I64))
-                    )
-                    dict_uniq, dict_inv = uniq, inverse
+            dict_pair = _dict_split(values, zplan)
+            if dict_pair is not None:
+                uniq, inverse = dict_pair
+                pu, pi = plan_int_array(uniq), plan_int_array(inverse)
+                candidates[IntCodec.DICT] = (
+                    4 + pu.size + pi.size,
+                    lambda pu=pu, pi=pi, uniq=uniq: (
+                        np.uint32(len(uniq)).astype("<u4").tobytes()
+                        + pack_from_plan(pu)
+                        + pack_from_plan(pi)
+                    ),
+                )
 
         if allowed(IntCodec.DELTA) and n >= 2:
             # first value kept out of the delta frame so a large base does
             # not widen the frame-of-reference of the (small) diffs
             with np.errstate(over="ignore"):
                 deltas = np.subtract(values[1:], values[:-1], dtype=_I64)
-            candidates[IntCodec.DELTA] = 8 + packed_size(deltas)
+            dplan = plan_int_array(deltas)
+            candidates[IntCodec.DELTA] = (
+                8 + dplan.size,
+                lambda dplan=dplan: (
+                    np.int64(values[0]).astype("<i8").tobytes()
+                    + pack_from_plan(dplan)
+                ),
+            )
 
-    codec = min(candidates, key=lambda c: (candidates[c], c))
+    codec = min(candidates, key=lambda c: (candidates[c][0], c))
+    size, thunk = candidates[codec]
     meta = {
         "codec": IntCodec.NAMES[codec],
         "n": n,
-        "bytes": candidates[codec],
+        "bytes": size,
         "zebra_bytes": zsize,
         "n_runs": n_runs,
     }
+    return codec, thunk(), meta
 
-    if codec == IntCodec.ZEBRA:
-        payload = pack_int_array(values)
-    elif codec == IntCodec.CONSTANT:
-        payload = np.int64(values[0]).astype("<i8").tobytes()
-    elif codec == IntCodec.RLE:
-        payload = (
-            np.uint32(len(rv)).astype("<u4").tobytes()
-            + pack_int_array(rv)
-            + pack_int_array(rl)
-        )
-    elif codec == IntCodec.DICT:
-        payload = (
-            np.uint32(len(dict_uniq)).astype("<u4").tobytes()
-            + pack_int_array(dict_uniq)
-            + pack_int_array(dict_inv.astype(_I64))
-        )
-    else:  # DELTA
-        payload = np.int64(values[0]).astype("<i8").tobytes() + pack_int_array(
-            deltas
-        )
-    return codec, payload, meta
+
+def _dict_split(values: np.ndarray, zplan):
+    """(uniques, int64 indices) when dictionary coding is worth costing.
+
+    Uses O(n) bincount when the value range is small; falls back to a
+    sample-gated np.unique sort otherwise.  Returns None when a dictionary
+    cannot beat the direct encoding (cardinality too high).
+    """
+    n = len(values)
+    value_range = zplan.vmax - zplan.vmin
+    if 0 <= value_range <= (1 << 21):
+        shifted = (values - zplan.vmin).astype(np.int64)
+        counts = np.bincount(shifted, minlength=value_range + 1)
+        nz = np.nonzero(counts)[0]
+        if len(nz) > n // 2:
+            return None
+        lookup = np.empty(value_range + 1, dtype=_I64)
+        lookup[nz] = np.arange(len(nz))
+        return (nz + zplan.vmin).astype(_I64), lookup[shifted]
+    sample = values[:: max(1, n // 4096)][:4096]
+    if len(np.unique(sample)) > len(sample) // 2:
+        return None
+    uniq, inverse = np.unique(values, return_inverse=True)
+    if len(uniq) > n // 2:
+        return None
+    return uniq, inverse.astype(_I64)
 
 
 def decode_ints(codec: int, buf, n: int, pos: int = 0):

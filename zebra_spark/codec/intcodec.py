@@ -25,9 +25,16 @@ The byte SIZE of every chunk is identical to the reference
 (``nbits * 8``), so compressed-size comparisons are exact.
 
 Everything here is wrapping two's-complement int64 arithmetic, matching C.
+
+Performance notes: the encode path computes (offset, deltas, nbits) ONCE
+per array via :class:`PackPlan` and reuses it for both size costing (the
+codec auto-selector calls ``plan_int_array`` on several candidates) and
+the final byte assembly — no repeated passes over the data.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -36,6 +43,9 @@ __all__ = [
     "unzigzag64",
     "mid64",
     "bit_length64",
+    "PackPlan",
+    "plan_int_array",
+    "pack_from_plan",
     "pack_int_array",
     "unpack_int_array",
     "packed_size",
@@ -47,10 +57,6 @@ INT_HEADER_BYTES = 12
 
 _U64 = np.uint64
 _I64 = np.int64
-
-# numpy >= 2 warns on out-of-bound int -> uint conversions in ufuncs; all
-# shifts/masks here are intentionally modular, matching C semantics.
-_ERR = {"over": "ignore"}
 
 
 def zigzag64(x: np.ndarray) -> np.ndarray:
@@ -95,45 +101,32 @@ def bit_length64(v: np.ndarray) -> np.ndarray:
     return bits
 
 
-def _bp64_pack_group(vals: np.ndarray, w: int) -> np.ndarray:
-    """Pack (m, 64) uint64 values (< 2**w each) into (m, w) uint64 words."""
-    m = vals.shape[0]
-    out = np.zeros((m, w), dtype=_U64)
-    with np.errstate(over="ignore"):
-        for i in range(64):
-            start = i * w
-            wi = start >> 6
-            sh = start & 63
-            out[:, wi] |= np.left_shift(vals[:, i], _U64(sh))
-            if sh + w > 64:
-                out[:, wi + 1] |= np.right_shift(vals[:, i], _U64(64 - sh))
-    return out
+@dataclass
+class PackPlan:
+    """Precomputed encode state: shared by size costing and byte assembly."""
+
+    n: int
+    offset: int
+    deltas: np.ndarray  # uint64 zig-zagged, len n
+    nbits: np.ndarray  # int64, len n//64
+    vmin: int
+    vmax: int
+
+    @property
+    def size(self) -> int:
+        n_parts, n_rem = divmod(self.n, 64)
+        return INT_HEADER_BYTES + n_parts + int(self.nbits.sum()) * 8 + n_rem * 8
 
 
-def _bp64_unpack_group(words: np.ndarray, w: int) -> np.ndarray:
-    """Inverse of :func:`_bp64_pack_group`: (m, w) words -> (m, 64) values."""
-    m = words.shape[0]
-    vals = np.empty((m, 64), dtype=_U64)
-    mask = _U64(0xFFFFFFFFFFFFFFFF) if w == 64 else ((_U64(1) << _U64(w)) - _U64(1))
-    with np.errstate(over="ignore"):
-        for i in range(64):
-            start = i * w
-            wi = start >> 6
-            sh = start & 63
-            v = np.right_shift(words[:, wi], _U64(sh))
-            if sh + w > 64:
-                v = v | np.left_shift(words[:, wi + 1], _U64(64 - sh))
-            vals[:, i] = v & mask
-    return vals
-
-
-def _deltas_and_nbits(values: np.ndarray):
-    """Shared by pack and size-estimation: zig-zag deltas + per-chunk widths."""
+def plan_int_array(values: np.ndarray) -> PackPlan:
+    values = np.ascontiguousarray(values, dtype=_I64)
     n = len(values)
     n_parts = n // 64
     if n == 0:
-        return _I64(0), np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
-    offset = mid64(int(values.min()), int(values.max()))
+        return PackPlan(0, 0, np.empty(0, _U64), np.empty(0, np.int64), 0, 0)
+    vmin = int(values.min())
+    vmax = int(values.max())
+    offset = mid64(vmin, vmax)
     with np.errstate(over="ignore"):
         deltas = zigzag64(values - _I64(offset))
     if n_parts:
@@ -141,63 +134,99 @@ def _deltas_and_nbits(values: np.ndarray):
         nbits = bit_length64(maxd)
     else:
         nbits = np.empty(0, dtype=np.int64)
-    return offset, deltas, nbits
+    return PackPlan(n, offset, deltas, nbits, vmin, vmax)
 
 
 def packed_size(values: np.ndarray) -> int:
-    """Exact wire size in bytes of ``pack_int_array(values)`` without packing.
+    """Exact wire size in bytes of ``pack_int_array(values)`` without packing."""
+    return plan_int_array(values).size
 
-    Used by the codec auto-selector to cost candidates cheaply.
+
+def _bp64_pack_group(vals: np.ndarray, w: int) -> np.ndarray:
+    """Pack (m, 64) uint64 values (< 2**w each) into (m, w) uint64 words.
+
+    Works in transposed (word-major) layout so every inner write is a
+    contiguous row, then transposes back once.
     """
-    values = np.ascontiguousarray(values, dtype=_I64)
-    n = len(values)
-    n_parts, n_rem = divmod(n, 64)
-    _, _, nbits = _deltas_and_nbits(values)
-    return INT_HEADER_BYTES + n_parts + int(nbits.sum()) * 8 + n_rem * 8
+    m = vals.shape[0]
+    vt = np.ascontiguousarray(vals.T)  # (64, m)
+    out = np.zeros((w, m), dtype=_U64)
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            start = i * w
+            wi = start >> 6
+            sh = start & 63
+            out[wi] |= np.left_shift(vt[i], _U64(sh))
+            if sh + w > 64:
+                out[wi + 1] |= np.right_shift(vt[i], _U64(64 - sh))
+    return np.ascontiguousarray(out.T)
 
 
-def pack_int_array(values: np.ndarray) -> bytes:
-    """Encode an int64 vector to the zebra int-array wire format."""
-    values = np.ascontiguousarray(values, dtype=_I64)
-    n = len(values)
+def _bp64_unpack_group(words: np.ndarray, w: int) -> np.ndarray:
+    """Inverse of :func:`_bp64_pack_group`: (m, w) words -> (m, 64) values."""
+    m = words.shape[0]
+    wt = np.ascontiguousarray(words.T)  # (w, m)
+    vals = np.empty((64, m), dtype=_U64)
+    mask = _U64(0xFFFFFFFFFFFFFFFF) if w == 64 else ((_U64(1) << _U64(w)) - _U64(1))
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            start = i * w
+            wi = start >> 6
+            sh = start & 63
+            v = np.right_shift(wt[wi], _U64(sh))
+            if sh + w > 64:
+                v = v | np.left_shift(wt[wi + 1], _U64(64 - sh))
+            vals[i] = v & mask
+    return np.ascontiguousarray(vals.T)
+
+
+def pack_from_plan(plan: PackPlan) -> bytes:
+    """Assemble the wire bytes from a precomputed :class:`PackPlan`."""
+    n = plan.n
     n_parts, n_rem = divmod(n, 64)
-    offset, deltas, nbits = _deltas_and_nbits(values)
+    nbits = plan.nbits
+    deltas = plan.deltas
 
     parts_total = int(nbits.sum()) * 8
     parts_buf = np.zeros(parts_total, dtype=np.uint8)
     if n_parts:
         chunk_vals = deltas[: n_parts * 64].reshape(n_parts, 64)
-        # byte offset of each chunk inside parts_buf
         byte_offsets = np.concatenate(([0], np.cumsum(nbits[:-1] * 8)))
-        for w in np.unique(nbits):
+        widths = np.unique(nbits)
+        for w in widths:
             w = int(w)
             if w == 0:
                 continue
             idx = np.nonzero(nbits == w)[0]
             words = _bp64_pack_group(chunk_vals[idx], w)  # (m, w) uint64
             le = words.astype("<u8", copy=False).view(np.uint8).reshape(len(idx), w * 8)
-            tgt = (
-                np.repeat(byte_offsets[idx], w * 8)
-                + np.tile(np.arange(w * 8, dtype=np.int64), len(idx))
-            )
-            parts_buf[tgt] = le.ravel()
+            if len(idx) == n_parts:
+                # single-width fast path: contiguous write
+                parts_buf[:] = le.ravel()
+            else:
+                tgt = byte_offsets[idx][:, None] + np.arange(w * 8, dtype=np.int64)[None, :]
+                parts_buf[tgt] = le
 
     remainder = deltas[n_parts * 64 :].astype("<u8", copy=False).view(np.uint8)
 
     size = n_parts + parts_total + n_rem * 8
-    header = np.empty(INT_HEADER_BYTES, dtype=np.uint8)
-    header[:4] = np.frombuffer(np.uint32(size).astype("<u4").tobytes(), dtype=np.uint8)
-    header[4:12] = np.frombuffer(
-        np.int64(offset).astype("<i8").tobytes(), dtype=np.uint8
+    header = (
+        np.uint32(size).astype("<u4").tobytes()
+        + np.int64(plan.offset).astype("<i8").tobytes()
     )
     return b"".join(
         (
-            header.tobytes(),
+            header,
             nbits.astype(np.uint8).tobytes(),
             parts_buf.tobytes(),
             remainder.tobytes(),
         )
     )
+
+
+def pack_int_array(values: np.ndarray) -> bytes:
+    """Encode an int64 vector to the zebra int-array wire format."""
+    return pack_from_plan(plan_int_array(values))
 
 
 def unpack_int_array(buf: bytes | memoryview, n_elems: int, pos: int = 0):
@@ -231,17 +260,19 @@ def unpack_int_array(buf: bytes | memoryview, n_elems: int, pos: int = 0):
             if w == 0:
                 chunk_out[idx] = 0
                 continue
-            src = (
-                np.repeat(byte_offsets[idx], w * 8)
-                + np.tile(np.arange(w * 8, dtype=np.int64), len(idx))
-            )
-            words = (
-                parts[src]
-                .reshape(len(idx), w * 8)
-                .copy()
-                .view("<u8")
-                .astype(_U64, copy=False)
-            )
+            if len(idx) == n_parts:
+                words = parts.copy().view("<u8").astype(_U64, copy=False).reshape(
+                    n_parts, w
+                )
+            else:
+                src = byte_offsets[idx][:, None] + np.arange(
+                    w * 8, dtype=np.int64
+                )[None, :]
+                words = (
+                    parts[src].reshape(len(idx), w * 8).copy().view("<u8").astype(
+                        _U64, copy=False
+                    )
+                )
             chunk_out[idx] = _bp64_unpack_group(words, w)
     if n_rem:
         rem = body[n_parts + parts_total :]

@@ -57,44 +57,85 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
+def _batch_cells(rb: pa.RecordBatch) -> int:
+    """Rough total cell count (list children included) for memory budgeting."""
+    total = 0
+    for col in rb.columns:
+        t = col.type
+        while pa.types.is_list(t) or pa.types.is_large_list(t):
+            col = col.flatten()
+            t = col.type
+        total += len(col)
+    return total
+
+
+def encode_chunk_rows(
+    rb: pa.RecordBatch,
+    task_tag: str | None = None,
+    rows_per_block: int = 1 << 16,
+    max_block_values: int = 1 << 22,
+    key_col: str | None = None,
+    _state: dict | None = None,
+) -> Iterator[pa.RecordBatch]:
+    """Encode one Arrow batch into block rows (shared by all encode paths).
+
+    Blocks are capped both by ``rows_per_block`` and by ``max_block_values``
+    total cells, so wide/ragged rows (long token arrays) cannot blow up a
+    worker's memory: temporaries inside the codec scale with the cap, not
+    with whatever batch size the source produced.
+    """
+    if rb.num_rows == 0:
+        return
+    task_id = task_tag or uuid.uuid4().hex[:12]
+    state = _state if _state is not None else {"seq": 0}
+    schema_bytes = rb.schema.serialize().to_pybytes()
+    cells_per_row = max(1, _batch_cells(rb) // max(1, rb.num_rows))
+    step = max(64, min(rows_per_block, max_block_values // cells_per_row))
+    for off in range(0, rb.num_rows, step):
+        chunk = rb.slice(off, min(step, rb.num_rows - off))
+        if chunk.num_rows == 0:
+            continue
+        payload, meta = encode_batch(chunk)
+        first_key = str(chunk.column(0)[0].as_py())
+        key_min = key_max = None
+        if key_col is not None:
+            mm = pa.compute.min_max(chunk.column(key_col))
+            key_min = str(mm["min"].as_py())
+            key_max = str(mm["max"].as_py())
+        seq = state["seq"]
+        state["seq"] += 1
+        yield pa.RecordBatch.from_pydict(
+            {
+                "block_id": [f"{task_id}-{seq:08d}"],
+                "part_start": [first_key],
+                "key_min": [key_min],
+                "key_max": [key_max],
+                "n_rows": [chunk.num_rows],
+                "payload": [payload],
+                "schema": [schema_bytes],
+                "meta": [json.dumps(meta)],
+                "raw_bytes": [meta["raw_bytes"]],
+                "enc_bytes": [meta["enc_bytes"]],
+                "zebra_bytes": [meta["zebra_bytes"]],
+                "crc32": [zlib.crc32(payload)],
+            },
+            schema=_OUT_SCHEMA,
+        )
+
+
 def _encode_fn(rows_per_block: int, key_col: str | None = None):
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         warm_codec()
         task_id = uuid.uuid4().hex[:12]
-        seq = 0
+        state = {"seq": 0}
         for rb in batches:
-            schema_bytes = rb.schema.serialize().to_pybytes()
-            for off in range(0, rb.num_rows, rows_per_block):
-                chunk = rb.slice(off, min(rows_per_block, rb.num_rows - off))
-                if chunk.num_rows == 0:
-                    continue
-                payload, meta = encode_batch(chunk)
-                first_key = (
-                    str(chunk.column(0)[0].as_py()) if chunk.num_rows else ""
-                )
-                key_min = key_max = None
-                if key_col is not None and chunk.num_rows:
-                    mm = pa.compute.min_max(chunk.column(key_col))
-                    key_min = str(mm["min"].as_py())
-                    key_max = str(mm["max"].as_py())
-                yield pa.RecordBatch.from_pydict(
-                    {
-                        "block_id": [f"{task_id}-{seq:08d}"],
-                        "part_start": [first_key],
-                        "key_min": [key_min],
-                        "key_max": [key_max],
-                        "n_rows": [chunk.num_rows],
-                        "payload": [payload],
-                        "schema": [schema_bytes],
-                        "meta": [json.dumps(meta)],
-                        "raw_bytes": [meta["raw_bytes"]],
-                        "enc_bytes": [meta["enc_bytes"]],
-                        "zebra_bytes": [meta["zebra_bytes"]],
-                        "crc32": [zlib.crc32(payload)],
-                    },
-                    schema=_OUT_SCHEMA,
-                )
-                seq += 1
+            yield from encode_chunk_rows(
+                rb,
+                task_tag=task_id,
+                rows_per_block=rows_per_block,
+                key_col=key_col,
+                _state=state,
+            )
 
     return encode
 
