@@ -117,6 +117,33 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents' bytes as opaque media payloads ->
+    fixed-size feature vectors (rows-only check; decode itself is stubbed)."""
+    from zebra_spark.functions.multimodal import extract_features
+
+    media = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("text-bytes").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None)
+        .cast("struct<height:int,width:int,channels:int,duration_ms:int>")
+        .alias("meta"),
+    )
+    return extract_features(media)
+
+
+def _q_roundtrip_synthetic_tokens(spark, sf_dir):
+    """F1 token-table round-trip (BASELINE input_hint shape; the synthetic
+    table is deterministic so rows-only + pytest cover bit-equality)."""
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+    from zebra_spark.sources.synth import f1_table
+
+    df = f1_table(spark, 5000, partitions=8, rows_per_batch=1 << 10)
+    return decode_df(encode_df(df, rows_per_block=1 << 10), schema=df.schema)
+
+
 def _q_encode_summary(spark, sf_dir):
     from zebra_spark.operators.encode import encode_df
 
@@ -147,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "minhash_lsh": _q_minhash,
             "simhash": _q_simhash,
             "ngram_jaccard": _q_ngram_jaccard,
+            "media_features": _q_media_features,
+            "roundtrip_synthetic_tokens": _q_roundtrip_synthetic_tokens,
             "encode_summary": _q_encode_summary,
         }
     )
