@@ -1,0 +1,100 @@
+"""Semantic tests for dedup + similarity operators on crafted corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zebra_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from zebra_spark.functions.similarity import brute_force_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    near = base.replace("afternoon", "evening")
+    other = (
+        "completely different content about distributed columnar storage "
+        "engines compressing token arrays with bit packing and dictionaries"
+    )
+    rows = [
+        ("a1", base),
+        ("a2", base),  # exact dup of a1
+        ("a3", near),  # near dup of a1
+        ("b1", other),
+        ("b2", "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dedup_groups(corpus):
+    groups = {r["keeper"]: r["n_copies"] for r in exact_dedup(corpus).collect()}
+    assert groups["a1"] == 2  # a1+a2 identical
+    assert groups["a3"] == 1 and groups["b1"] == 1
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(corpus).collect()}
+    assert ("a1", "a2") in pairs  # identical -> all bands collide
+    assert ("a1", "a3") in pairs or ("a2", "a3") in pairs  # near-dup
+    assert ("a1", "b1") not in pairs
+
+
+def test_ngram_jaccard_scores(corpus):
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.0).collect()
+    }
+    assert rows[("a1", "a2")] == 1.0
+    near = rows.get(("a1", "a3"), rows.get(("a2", "a3")))
+    assert near is not None and 0.5 < near < 1.0
+
+
+def _hamming(x: int, y: int) -> int:
+    return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_distance(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert sh["a1"] == sh["a2"]
+    assert _hamming(sh["a1"], sh["a3"]) < 12
+    assert _hamming(sh["a1"], sh["b1"]) > _hamming(sh["a1"], sh["a3"])
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+    # vec 100 = near-copy of vec 0
+    rows.append((100, [float(x) for x in base[0] + 0.01], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_finds_planted_neighbor(embeddings):
+    queries = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = brute_force_topk(embeddings, queries, k=3).collect()
+    assert top[0]["neighbor_id"] == 100 and top[0]["rank"] == 1
+    assert top[0]["cos_sim"] > 0.999
+
+
+def test_lsh_ann_recall_on_planted_neighbor(embeddings):
+    queries = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = lsh_ann_topk(embeddings, queries, dim=16, k=3, bits=4).collect()
+    # planted near-copy lands in the same hyperplane bucket
+    assert any(r["neighbor_id"] == 100 for r in res)

@@ -3,11 +3,17 @@
 Scale notes (100 TB):
 * exact dedup is a hash groupBy — one shuffle on a 16-byte digest, the
   canonical map-side-combinable aggregation;
-* MinHash/LSH avoids the O(n^2) pair join: signatures are computed
-  vectorized per row batch, then candidates come from an equi-join on
-  (band_id, band_hash) — Spark shuffles only bucket collisions;
-* SimHash buckets by the 16-bit halves of a 64-bit signature (any pair
-  within hamming distance d shares a half with probability >= 1 - d/4).
+* MinHash/LSH avoids the O(n^2) pair join: shingle hashes are computed
+  JVM-side (xxhash64 inside codegen), signatures vectorized in numpy per
+  Arrow batch, and candidates come from an equi-join on (band, band_hash)
+  — Spark shuffles only bucket collisions;
+* SimHash folds word-hash bit votes per batch with np.add.at — no
+  shuffle, no per-row Python loops.
+
+The MinHash permutation family is multiply-add over wrapping uint64
+(``sig_j = min_i (a_j * h_i + b_j mod 2^64)``, odd ``a_j``) — a standard
+universal-hashing family that vectorizes exactly (no 128-bit modular
+arithmetic needed).
 """
 
 from __future__ import annotations
@@ -15,12 +21,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 N_HASHES = 64
 N_BANDS = 16  # 16 bands x 4 rows
-_MERSENNE = (1 << 61) - 1
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -32,46 +37,36 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of word k-shingles (vectorized-ish; called per row from a
-    pandas UDF, the string slicing itself is cheap vs the join it avoids)."""
-    words = text.lower().split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    # cheap stable 61-bit hash per shingle (FNV-ish over bytes, numpy-friendly)
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(14695981039346656037)
-        for b in s.encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 % (1 << 64))
-        out[i] = np.uint64(int(h) % _MERSENNE)
-    return out
+def _shingle_hash_col(k: int):
+    """JVM-side word k-shingle hashes: array<long> per document."""
+    words = "split(lower(text), '\\\\s+')"
+    return F.expr(
+        f"transform(sequence(1, greatest(size({words}) - {k} + 1, 1)), "
+        f"i -> xxhash64(array_join(slice({words}, i, {k}), ' ')))"
+    )
 
 
-def _minhash_sig(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """sig_j = min_i (a_j * h_i + b_j mod p): (n_hashes,) from (n_shingles,)."""
-    if len(hashes) == 0:
-        return np.zeros(len(a), dtype=np.int64)
-    hv = (
-        a[None, :].astype(object) * hashes[:, None].astype(object) + b[None, :]
-    ) % _MERSENNE
-    return np.min(hv, axis=0).astype(np.int64)
-
-
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def _minhash_params(n_hashes: int):
     rng = np.random.default_rng(42)
-    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    a = (rng.integers(0, 2**63, size=n_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, k: int = 5) -> DataFrame:
+    a, b = _minhash_params(n_hashes)
 
     @pandas_udf("array<long>")
-    def sig(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: _minhash_sig(_shingle_hashes(t or ""), a, b).tolist()
-        )
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for hs in hashes:
+                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                mat = a[None, :] * arr[:, None] + b[None, :]  # wrapping uint64
+                out.append(mat.min(axis=0).view(np.int64).tolist())
+        return pd.Series(out)
 
-    return docs.select("doc_id", sig(F.col("text")).alias("sig"))
+    return docs.select("doc_id", sig(_shingle_hash_col(k)).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -107,8 +102,11 @@ def minhash_lsh_candidates(
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over word unigrams (xxhash64 JVM-side, bit-vote agg
-    done vectorized in a pandas UDF over the word-hash arrays)."""
+    """64-bit SimHash over word unigrams.
+
+    Word hashes come from JVM-side xxhash64; the bit-vote fold is one
+    vectorized np.add.at per Arrow batch (no shuffle, no Python-per-row).
+    """
     words = docs.select(
         "doc_id",
         F.expr(
@@ -118,19 +116,25 @@ def simhash(docs: DataFrame) -> DataFrame:
 
     @pandas_udf("long")
     def sh(whs: pd.Series) -> pd.Series:
-        def one(hs):
-            if hs is None or len(hs) == 0:
-                return 0
-            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            bits = (arr[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 > len(arr)
-            return int(
-                np.sum(votes.astype(np.uint64) << np.arange(64, dtype=np.uint64)).view(
-                    np.int64
-                )
-            )
-
-        return whs.map(one)
+        lens = np.array([0 if h is None else len(h) for h in whs], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(whs), dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in whs if h is not None and len(h)]
+        ).view(np.uint64)
+        row_idx = np.repeat(np.arange(len(whs)), lens)
+        bits = (
+            (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        votes = np.zeros((len(whs), 64), dtype=np.int64)
+        np.add.at(votes, row_idx, bits)
+        majority = (votes * 2 > lens[:, None]).astype(np.uint64)
+        sig = np.zeros(len(whs), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(64):
+                sig |= majority[:, i] << np.uint64(i)
+        return pd.Series(sig.view(np.int64))
 
     return words.select("doc_id", sh("whs").alias("simhash"))
 
