@@ -18,7 +18,6 @@ from zebra_spark.codec.codecs import (
     decode_strings,
     encode_ints,
     encode_strings,
-    zebra_int_size,
 )
 
 I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)

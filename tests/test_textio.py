@@ -7,7 +7,6 @@ zebra-cli/test/cli/import/t0*) at DataFrame level.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from zebra_spark.operators.decode import decode_df
 from zebra_spark.operators.encode import encode_df

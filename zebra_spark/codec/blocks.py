@@ -29,20 +29,15 @@ Column section::
 
 from __future__ import annotations
 
-import json
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .codecs import (
-    IntCodec,
     decode_ints,
     decode_strings,
     encode_ints,
     encode_strings,
-    zebra_int_size,
-    zebra_strings_size,
 )
 
 __all__ = ["encode_batch", "decode_batch", "BLOCK_MAGIC"]

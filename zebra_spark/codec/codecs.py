@@ -22,19 +22,12 @@ import os
 import numpy as np
 
 from .intcodec import (
-    INT_HEADER_BYTES,
     pack_from_plan,
-    pack_int_array,
     packed_size,
     plan_int_array,
     unpack_int_array,
 )
-from .bytecodec import (
-    pack_sized_byte_array,
-    pack_strings,
-    unpack_sized_byte_array,
-    unpack_strings,
-)
+from .bytecodec import pack_strings, unpack_strings
 from . import fsst as _fsst
 
 __all__ = [
