@@ -202,3 +202,59 @@ def _batches(draw):
 @settings(max_examples=60, deadline=None)
 def test_random_batches_roundtrip(batch):
     roundtrip(batch)
+
+
+def test_projection_pushdown_decode():
+    """decode_batch(columns=...) skips unrequested sections exactly."""
+    import time
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    n_tok = rng.integers(64, 600, size=n)
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(n)]),
+            "tokens": pa.array(
+                [rng.integers(0, 50257, size=k).tolist() for k in n_tok],
+                type=pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array(n_tok.astype(np.int32)),
+            "source": pa.array(["web"] * n),
+        }
+    )
+    payload, _ = encode_batch(batch)
+    full = decode_batch(payload, batch.schema)
+    pruned = decode_batch(payload, batch.schema, columns=["doc_id", "n_tok"])
+    assert pruned.schema.names == ["doc_id", "n_tok"]
+    assert pruned.column("doc_id").equals(full.column("doc_id"))
+    assert pruned.column("n_tok").equals(full.column("n_tok"))
+    # pruning must be materially cheaper than full decode (tokens dominate)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        decode_batch(payload, batch.schema, columns=["n_tok"])
+    t_pruned = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        decode_batch(payload, batch.schema)
+    t_full = time.perf_counter() - t0
+    assert t_pruned < t_full
+
+
+def test_projection_pushdown_with_nulls_and_nesting():
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "a": pa.array([1, None, 3], type=pa.int64()),
+            "l": pa.array([[1, 2], None, []], type=pa.list_(pa.int64())),
+            "st": pa.array(
+                [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}, None],
+                type=pa.struct([("x", pa.int64()), ("y", pa.string())]),
+            ),
+            "z": pa.array(["p", "q", "r"]),
+        }
+    )
+    payload, _ = encode_batch(batch)
+    for cols in (["a"], ["z"], ["l"], ["st"], ["a", "z"], ["l", "st"]):
+        out = decode_batch(payload, batch.schema, columns=cols)
+        assert out.schema.names == cols
+        for c in cols:
+            assert out.column(c).equals(batch.column(c)), c

@@ -38,6 +38,8 @@ from .codecs import (
     decode_strings,
     encode_ints,
     encode_strings,
+    skip_ints,
+    skip_strings,
 )
 
 __all__ = ["encode_batch", "decode_batch", "BLOCK_MAGIC"]
@@ -278,8 +280,36 @@ def _decode_column(mv: memoryview, pos: int, t: pa.DataType, n: int):
     raise NotImplementedError(f"unsupported arrow type for block decode: {t}")
 
 
-def decode_batch(payload, schema: pa.Schema) -> pa.RecordBatch:
-    """Inverse of :func:`encode_batch` for the given arrow schema."""
+def _skip_column(mv: memoryview, pos: int, t: pa.DataType, n: int) -> int:
+    """Advance past a column section without decoding it (projection pushdown)."""
+    flags = mv[pos]
+    pos += 1
+    if flags & 1:
+        pos = skip_ints(mv[pos], mv, n, pos + 1)
+    if _int_kind(t) is not None:
+        return skip_ints(mv[pos], mv, n, pos + 1)
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
+        t
+    ) or pa.types.is_large_binary(t):
+        return skip_strings(mv[pos], mv, n, pos + 1)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        pos = skip_ints(mv[pos], mv, n, pos + 1)
+        inner_n = int(np.frombuffer(mv[pos : pos + 8], dtype="<u8")[0])
+        return _skip_column(mv, pos + 8, t.value_type, inner_n)
+    if pa.types.is_struct(t):
+        for field in t:
+            pos = _skip_column(mv, pos, field.type, n)
+        return pos
+    raise NotImplementedError(f"unsupported arrow type for block skip: {t}")
+
+
+def decode_batch(payload, schema: pa.Schema, columns=None) -> pa.RecordBatch:
+    """Inverse of :func:`encode_batch` for the given arrow schema.
+
+    ``columns``: optional iterable of top-level column names — other
+    sections are SKIPPED (header parsing only, no decompression), the
+    block-level analogue of parquet column pruning.
+    """
     mv = memoryview(payload)
     if bytes(mv[:4]) != BLOCK_MAGIC:
         raise ValueError("bad block magic")
@@ -289,11 +319,19 @@ def decode_batch(payload, schema: pa.Schema) -> pa.RecordBatch:
         raise ValueError(
             f"block has {n_cols} columns but schema expects {len(schema)}"
         )
+    want = None if columns is None else set(columns)
     pos = 10
     arrays = []
+    fields = []
     for field in schema:
-        arr, pos = _decode_column(mv, pos, field.type, n_rows)
-        arrays.append(arr)
+        if want is None or field.name in want:
+            arr, pos = _decode_column(mv, pos, field.type, n_rows)
+            arrays.append(arr)
+            fields.append(field)
+        else:
+            pos = _skip_column(mv, pos, field.type, n_rows)
     if pos != len(mv):
         raise ValueError(f"trailing bytes in block: {len(mv) - pos}")
-    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+    return pa.RecordBatch.from_arrays(
+        arrays, schema=pa.schema(fields, metadata=schema.metadata)
+    )

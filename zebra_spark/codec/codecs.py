@@ -202,6 +202,67 @@ def _dict_split(values: np.ndarray, zplan):
     return uniq, inverse.astype(_I64)
 
 
+def skip_ints(codec: int, buf, n: int, pos: int = 0) -> int:
+    """Advance past an int-codec payload without decoding it.
+
+    Enables projection pushdown inside a block: unread columns cost only
+    header parsing, no bit-unpacking / decompression.
+    """
+    mv = memoryview(buf)
+
+    def int_array_end(p):
+        size = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
+        return p + 12 + size
+
+    if codec == IntCodec.ZEBRA:
+        return int_array_end(pos)
+    if codec == IntCodec.CONSTANT:
+        return pos + 8
+    if codec == IntCodec.RLE:
+        p = int_array_end(pos + 4)
+        return int_array_end(p)
+    if codec == IntCodec.DICT:
+        p = int_array_end(pos + 4)
+        return int_array_end(p)
+    if codec == IntCodec.DELTA:
+        return int_array_end(pos + 8)
+    raise ValueError(f"unknown int codec {codec}")
+
+
+def skip_strings(codec: int, buf, n: int, pos: int = 0) -> int:
+    """Advance past a string-codec payload without decoding it."""
+    mv = memoryview(buf)
+
+    def int_array_end(p):
+        size = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
+        return p + 12 + size
+
+    def byte_array_end(p):
+        n_comp = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
+        return p + 4 + n_comp
+
+    def sized_byte_array_end(p):
+        return byte_array_end(p + 4)
+
+    if codec == StrCodec.ZEBRA:
+        return sized_byte_array_end(int_array_end(pos))
+    if codec == StrCodec.DICT:
+        p = int_array_end(pos + 4)
+        p = sized_byte_array_end(p)
+        icodec = mv[p]
+        return skip_ints(icodec, mv, n, p + 1)
+    if codec == StrCodec.FSST:
+        lp_len = int(np.frombuffer(mv[pos + 1 : pos + 5], dtype="<u4")[0])
+        p = pos + 5 + lp_len
+        enc_len = int(np.frombuffer(mv[p + 4 : p + 8], dtype="<u4")[0])
+        n_codes = mv[p + 8]
+        q = p + 9
+        for _ in range(n_codes):
+            q += 1 + mv[q]
+        return q + enc_len
+    raise ValueError(f"unknown string codec {codec}")
+
+
 def decode_ints(codec: int, buf, n: int, pos: int = 0):
     """Inverse of :func:`encode_ints`. Returns ``(values, next_pos)``."""
     mv = memoryview(buf)

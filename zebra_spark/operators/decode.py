@@ -19,7 +19,7 @@ from ..codec.blocks import decode_batch
 from ..codec.warmup import warm_codec
 
 
-def _decode_fn(verify_crc: bool):
+def _decode_fn(verify_crc: bool, columns=None):
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         warm_codec()
         for rb in batches:
@@ -36,7 +36,7 @@ def _decode_fn(verify_crc: bool):
                             f"crc mismatch in block {ids[i].as_py()}"
                         )
                 schema = pa.ipc.read_schema(pa.py_buffer(schemas[i].as_py()))
-                yield decode_batch(payload, schema)
+                yield decode_batch(payload, schema, columns=columns)
 
     return decode
 
@@ -49,14 +49,33 @@ def arrow_schema_of(blocks: DataFrame) -> pa.Schema:
     return pa.ipc.read_schema(pa.py_buffer(row[0]))
 
 
-def decode_df(blocks: DataFrame, schema=None, verify_crc: bool = True) -> DataFrame:
+def decode_df(
+    blocks: DataFrame,
+    schema=None,
+    verify_crc: bool = True,
+    columns: list[str] | None = None,
+) -> DataFrame:
     """Decode a blocks DataFrame back to the original rows.
 
     ``schema``: pyspark StructType or pyarrow Schema; fetched from the
     first block when omitted (one tiny driver-side lookup).
+
+    ``columns``: project to these top-level columns INSIDE the block
+    decoder — unrequested sections are skipped without decompression
+    (block-level column pruning; at 100 TB a 2-column read must not
+    bit-unpack the token payloads).
     """
     if schema is None:
         schema = arrow_schema_of(blocks)
     if isinstance(schema, pa.Schema):
         schema = from_arrow_schema(schema)
-    return blocks.mapInArrow(_decode_fn(verify_crc), schema=schema)
+    if columns is not None:
+        known = {f.name for f in schema.fields}
+        missing = set(columns) - known
+        if missing:
+            raise ValueError(
+                f"decode_df: unknown columns {sorted(missing)}; "
+                f"blocks contain {sorted(known)}"
+            )
+        schema = type(schema)([f for f in schema.fields if f.name in set(columns)])
+    return blocks.mapInArrow(_decode_fn(verify_crc, columns), schema=schema)
