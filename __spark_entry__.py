@@ -144,6 +144,39 @@ def _q_roundtrip_synthetic_tokens(spark, sf_dir):
     return decode_df(encode_df(df, rows_per_block=1 << 10), schema=df.schema)
 
 
+def _q_orders_by_status(spark, sf_dir):
+    """Shuffle/agg demonstration with a value-exact oracle (no float aggs)."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q_nation_customer_orders(spark, sf_dir):
+    """Broadcast-join pipeline: nation (tiny, broadcast) x customer x orders."""
+    nation = _load(spark, sf_dir, "nation")
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.min("o_orderkey").alias("min_order"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def _q_encode_summary(spark, sf_dir):
     from zebra_spark.operators.encode import encode_df
 
@@ -174,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "minhash_lsh": _q_minhash,
             "simhash": _q_simhash,
             "ngram_jaccard": _q_ngram_jaccard,
+            "orders_by_status": _q_orders_by_status,
+            "nation_customer_orders": _q_nation_customer_orders,
             "media_features": _q_media_features,
             "roundtrip_synthetic_tokens": _q_roundtrip_synthetic_tokens,
             "encode_summary": _q_encode_summary,
@@ -214,6 +249,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS digest, MIN(doc_id) AS keeper, "
             "COUNT(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY digest"
+        ),
+        "orders_by_status": (
+            "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, "
+            "COUNT(DISTINCT o_custkey) AS n_customers "
+            "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ),
+        "nation_customer_orders": (
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "COUNT(DISTINCT c_custkey) AS n_customers, "
+            "MIN(o_orderkey) AS min_order "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "

@@ -258,3 +258,20 @@ def test_projection_pushdown_with_nulls_and_nesting():
         assert out.schema.names == cols
         for c in cols:
             assert out.column(c).equals(batch.column(c)), c
+
+
+def test_map_type_roundtrip():
+    """map<k,v> — zebra's Map table analogue (Schema.hs:83)."""
+    m = pa.array(
+        [{"a": 1, "b": 2}, None, {}, {"c": None}, {"d": 4, "e": 5, "f": 6}],
+        type=pa.map_(pa.string(), pa.int64()),
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [m, pa.array([1, 2, 3, 4, 5], type=pa.int64())], names=["m", "x"]
+    )
+    roundtrip(batch)
+    payload, _ = encode_batch(batch)
+    pruned = decode_batch(payload, batch.schema, columns=["x"])
+    assert pruned.column("x").to_pylist() == [1, 2, 3, 4, 5]
+    only_m = decode_batch(payload, batch.schema, columns=["m"])
+    assert only_m.column("m").equals(batch.column("m"))

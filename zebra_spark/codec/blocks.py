@@ -199,7 +199,40 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
         for i, field in enumerate(t):
             _encode_column(arr.field(i), path + "." + field.name, out, sizes)
         return
+    if pa.types.is_map(t):
+        # map<k,v> ~ zebra's Map table nested per row (Schema.hs:83): a
+        # lengths column + flat key/value children.  Arrow stores maps as
+        # list<struct<key,value>> — encode exactly that representation
+        # (validity flag already emitted above for this node).
+        as_list = arr.cast(_map_as_list_type(t))
+        lengths_arr = pc.list_value_length(as_list)
+        if lengths_arr.null_count:
+            lengths_arr = pc.fill_null(lengths_arr, 0)
+        lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
+        child = as_list.flatten()
+        c, p, m = encode_ints(lengths)
+        out.append(bytes([c]))
+        out.append(p)
+        sizes.leaf(path + "#len", m)
+        out.append(np.uint64(len(child)).astype("<u8").tobytes())
+        _encode_column(child, path + ".entries", out, sizes)
+        return
     raise NotImplementedError(f"unsupported arrow type for block encode: {t}")
+
+
+def _map_as_list_type(t: pa.DataType) -> pa.DataType:
+    return pa.list_(
+        pa.field(
+            "entries",
+            pa.struct(
+                [
+                    pa.field("key", t.key_type, nullable=False),
+                    pa.field("value", t.item_type),
+                ]
+            ),
+            nullable=False,
+        )
+    )
 
 
 def encode_batch(batch: pa.RecordBatch):
@@ -277,6 +310,23 @@ def _decode_column(mv: memoryview, pos: int, t: pa.DataType, n: int):
             children, fields=list(t), mask=pa.array(mask) if mask is not None else None
         )
         return arr, pos
+    if pa.types.is_map(t):
+        c = mv[pos]
+        lengths, pos = decode_ints(c, mv, n, pos + 1)
+        inner_n = int(np.frombuffer(mv[pos : pos + 8], dtype="<u8")[0])
+        pos += 8
+        entries_type = _map_as_list_type(t).value_type
+        entries, pos = _decode_column(mv, pos, entries_type, inner_n)
+        offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+        validity_buf = _bitmap_from_bool(~mask) if mask is not None else None
+        arr = pa.Array.from_buffers(
+            t,
+            n,
+            [validity_buf, pa.py_buffer(offsets.tobytes())],
+            null_count=int(mask.sum()) if mask is not None else 0,
+            children=[entries],
+        )
+        return arr, pos
     raise NotImplementedError(f"unsupported arrow type for block decode: {t}")
 
 
@@ -300,6 +350,10 @@ def _skip_column(mv: memoryview, pos: int, t: pa.DataType, n: int) -> int:
         for field in t:
             pos = _skip_column(mv, pos, field.type, n)
         return pos
+    if pa.types.is_map(t):
+        pos = skip_ints(mv[pos], mv, n, pos + 1)
+        inner_n = int(np.frombuffer(mv[pos : pos + 8], dtype="<u8")[0])
+        return _skip_column(mv, pos + 8, _map_as_list_type(t).value_type, inner_n)
     raise NotImplementedError(f"unsupported arrow type for block skip: {t}")
 
 
