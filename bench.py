@@ -34,8 +34,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("ZS_BENCH_ROWS", "1000000"))
 ITERS = int(os.environ.get("ZS_BENCH_ITERS", "3"))
-LO = int(os.environ.get("ZS_BENCH_LO", str(max(2, CPUS // 4))))
-HI = int(os.environ.get("ZS_BENCH_HI", str(CPUS)))
+# Default scaling pair is 2 -> 8 (N and 4N): this sandbox's host grants at
+# most ~8 cores' worth of sustained vectorized compute (BENCH/BASELINE.md
+# section 3), so pairs beyond 8 measure host contention, not the engine.
+# Override with ZS_BENCH_LO / ZS_BENCH_HI (e.g. 8 and 32).
+LO = int(os.environ.get("ZS_BENCH_LO", "2"))
+HI = int(os.environ.get("ZS_BENCH_HI", "8"))
 F1_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench", f"f1_{BENCH_ROWS}.parquet"
 )
@@ -118,7 +122,29 @@ def scaling_runs():
         "high": hi,
         "scaling_efficiency": round(eff, 3),
         "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
+        "decode": decode_run(n_tokens),
     }
+
+
+def decode_run(n_tokens: int):
+    """One timed decode pass (encode -> blocks cached -> decode) at HI."""
+    from zebra_spark.session import get_spark
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.sources.parquet_direct import encode_parquet_direct
+
+    spark = get_spark(master=f"local[{HI}]", app_name="zs-bench-decode")
+    spark.sparkContext.setLogLevel("ERROR")
+    blocks = encode_parquet_direct(spark, F1_PATH).cache()
+    blocks.count()
+    decode_df(blocks).count()  # warm-up
+    best = None
+    for _ in range(max(1, ITERS - 1)):
+        t0 = time.perf_counter()
+        decode_df(blocks).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    spark.stop()
+    return {"sec": round(best, 3), "tokens_per_sec": round(n_tokens / best)}
 
 
 HEADLINE = [

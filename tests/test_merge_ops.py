@@ -173,3 +173,15 @@ def test_checkpoint_resume_bit_identical(spark, tmp_path):
     b = decode_df(read_checkpointed_blocks(spark, out_clean), schema=df.schema)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() == 1200
+
+
+def test_merge_map_union(spark):
+    """zebra Logical.merge unions maps recursively (Logical.hs:260-261);
+    first writer wins on key collisions (zebra errors on scalar collision
+    inside values; at the map level we keep the earlier entry)."""
+    a = spark.createDataFrame([(1, {"x": 1, "y": 2})], "k long, m map<string,bigint>")
+    b = spark.createDataFrame([(1, {"y": 99, "z": 3}), (2, {"q": 7})], "k long, m map<string,bigint>")
+    merged, _ = merge_tables([a, b], ["k"])
+    rows = {r["k"]: dict(r["m"]) for r in merged.collect()}
+    assert rows[1] == {"x": 1, "y": 2, "z": 3}
+    assert rows[2] == {"q": 7}

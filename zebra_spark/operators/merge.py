@@ -119,10 +119,27 @@ def _merge_agg(field: T.StructField, order_col: str):
             )
         ).alias(name)
     if isinstance(field.dataType, T.MapType):
+        # union in deterministic input order; earlier input wins on key
+        # clash.  Maps are not default-orderable, so sort by the input
+        # index alone via an explicit comparator.
+        ordered = F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), F.col(name).alias("v"))
+                ),
+                lambda l, r: F.when(l["o"] < r["o"], -1)
+                .when(l["o"] > r["o"], 1)
+                .otherwise(0),
+            ),
+            lambda s: s["v"],
+        )
         return F.aggregate(
-            F.collect_list(name),
+            ordered,
             F.map_from_arrays(F.array(), F.array()).cast(field.dataType),
-            lambda acc, m: F.map_concat(acc, F.map_filter(m, lambda k, v: ~F.array_contains(F.map_keys(acc), k))),
+            lambda acc, m: F.map_concat(
+                acc,
+                F.map_filter(m, lambda k, v: ~F.array_contains(F.map_keys(acc), k)),
+            ),
         ).alias(name)
     if isinstance(field.dataType, T.StringType) or isinstance(
         field.dataType, T.BinaryType
