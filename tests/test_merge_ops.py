@@ -185,3 +185,18 @@ def test_merge_map_union(spark):
     rows = {r["k"]: dict(r["m"]) for r in merged.collect()}
     assert rows[1] == {"x": 1, "y": 2, "z": 3}
     assert rows[2] == {"q": 7}
+
+
+def test_rechunk_preserves_rows(spark):
+    """Striped.rechunk law: re-chunking preserves the concatenated rows
+    (Test/Zebra/Table/Striped.hs:83-100)."""
+    from zebra_spark.operators.rechunk import rechunk_blocks
+
+    df = f1_table(spark, 1500, partitions=3, rows_per_batch=256).cache()
+    small = encode_df(df, rows_per_block=64).cache()
+    big = rechunk_blocks(small, rows_per_block=512, schema=df.schema,
+                         coalesce_partitions=1).cache()
+    assert big.count() < small.count()
+    assert big.agg({"n_rows": "max"}).collect()[0][0] <= 512
+    out = decode_df(big, schema=df.schema)
+    assert df.exceptAll(out).count() == 0 and out.exceptAll(df).count() == 0

@@ -184,6 +184,17 @@ def _dict_split(values: np.ndarray, zplan):
     """
     n = len(values)
     value_range = zplan.vmax - zplan.vmin
+    # width-estimate gate: dict indices bit-pack at >= ceil(log2(card)) in
+    # spread-out chunks, so when the direct encoding's mean chunk width is
+    # already at or below the index width (+1 slack for clustered chunks),
+    # a dictionary cannot pay for itself — skip the O(n) split entirely.
+    if len(zplan.nbits):
+        sample = values[:: max(1, n // 4096)][:4096]
+        card_est = len(np.unique(sample))
+        if card_est > 8 and (card_est - 1).bit_length() + 1 >= float(
+            zplan.nbits.mean()
+        ):
+            return None
     if 0 <= value_range <= (1 << 21):
         shifted = (values - zplan.vmin).astype(np.int64)
         counts = np.bincount(shifted, minlength=value_range + 1)

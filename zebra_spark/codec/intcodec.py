@@ -236,8 +236,18 @@ def unpack_int_array(buf: bytes | memoryview, n_elems: int, pos: int = 0):
     (zebra_unpack.c:44-97) including the buffer-size validation.
     """
     mv = memoryview(buf)
+    if len(mv) < pos + INT_HEADER_BYTES:
+        raise ValueError(
+            f"int_array truncated: need {pos + INT_HEADER_BYTES} header bytes, "
+            f"have {len(mv)}"
+        )
     size = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
     offset = int(np.frombuffer(mv[pos + 4 : pos + 12], dtype="<i8")[0])
+    if len(mv) < pos + INT_HEADER_BYTES + size:
+        raise ValueError(
+            f"int_array truncated: header promises {size} body bytes at "
+            f"{pos + INT_HEADER_BYTES}, buffer has {len(mv)}"
+        )
     body = np.frombuffer(mv[pos + 12 : pos + 12 + size], dtype=np.uint8)
 
     n_parts, n_rem = divmod(n_elems, 64)
