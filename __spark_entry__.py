@@ -190,6 +190,20 @@ def _q_encode_summary(spark, sf_dir):
     )
 
 
+def _q_verify_blocks(spark, sf_dir):
+    """Distributed audit pass (crc + decode + reencode fixed point)."""
+    from zebra_spark.operators.encode import encode_df
+    from zebra_spark.operators.verify import verify_blocks
+
+    blocks = encode_df(_load(spark, sf_dir, "events"), rows_per_block=1 << 14)
+    return verify_blocks(blocks).groupBy().agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("crc_ok").cast("long")).alias("crc_ok"),
+        F.sum(F.col("decode_ok").cast("long")).alias("decode_ok"),
+        F.sum(F.col("reencode_identical").cast("long")).alias("reencode_identical"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable] = {
         f"roundtrip_{t}": _q_roundtrip(t)
@@ -212,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_features": _q_media_features,
             "roundtrip_synthetic_tokens": _q_roundtrip_synthetic_tokens,
             "encode_summary": _q_encode_summary,
+            "verify_blocks": _q_verify_blocks,
         }
     )
     return qs

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("ZS_BENCH_ROWS", "1000000"))
-ITERS = int(os.environ.get("ZS_BENCH_ITERS", "3"))
+ITERS = int(os.environ.get("ZS_BENCH_ITERS", "2"))
 # Default scaling pair is 2 -> 8 (N and 4N): this sandbox's host grants at
 # most ~8 cores' worth of sustained vectorized compute (BENCH/BASELINE.md
 # section 3), so pairs beyond 8 measure host contention, not the engine.

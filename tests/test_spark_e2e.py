@@ -94,3 +94,28 @@ def test_determinism_across_parallelism(spark):
     a = f1_table(spark, 2000, partitions=2, rows_per_batch=512)
     b = f1_table(spark, 2000, partitions=7, rows_per_batch=512)
     assert_df_equal(a, b)
+
+
+def test_verify_blocks_audit(spark):
+    """Audit pass: healthy blocks all-green; corrupted block flagged not fatal."""
+    from zebra_spark.operators.verify import verify_blocks
+
+    df = f1_table(spark, 1000, partitions=2, rows_per_batch=512).cache()
+    blocks = encode_df(df, rows_per_block=256).cache()
+    report = verify_blocks(blocks).collect()
+    assert len(report) == blocks.count()
+    assert all(r["crc_ok"] and r["decode_ok"] and r["reencode_identical"] for r in report)
+
+    # corrupt one block's payload (keep crc stale) -> flagged, job survives
+    corrupted = blocks.withColumn(
+        "payload",
+        F.when(
+            F.col("block_id") == blocks.head()["block_id"],
+            F.expr("concat(substring(payload, 1, 50), X'00', substring(payload, 52, length(payload)))"),
+        ).otherwise(F.col("payload")),
+    )
+    rep2 = {r["block_id"]: r for r in verify_blocks(corrupted).collect()}
+    bad = rep2[blocks.head()["block_id"]]
+    assert not bad["crc_ok"] and not bad["decode_ok"]
+    healthy = [r for k, r in rep2.items() if k != blocks.head()["block_id"]]
+    assert all(r["decode_ok"] for r in healthy)
