@@ -58,13 +58,23 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, k: int = 5) ->
 
     @pandas_udf("array<long>")
     def sig(hashes: pd.Series) -> pd.Series:
-        out = []
+        # whole-batch vectorization: one (total_shingles, n_hashes) matrix,
+        # per-row minima via minimum.reduceat over row boundaries
+        lens = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
+        n_rows = len(hashes)
+        if n_rows == 0 or lens.sum() == 0:
+            return pd.Series([[0] * len(a)] * n_rows)
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+        ).view(np.uint64)
         with np.errstate(over="ignore"):
-            for hs in hashes:
-                arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                mat = a[None, :] * arr[:, None] + b[None, :]  # wrapping uint64
-                out.append(mat.min(axis=0).view(np.int64).tolist())
-        return pd.Series(out)
+            mat = a[None, :] * flat[:, None] + b[None, :]  # wrapping uint64
+        nz = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        mins = np.minimum.reduceat(mat, starts, axis=0)  # (n_nonzero_rows, n_hashes)
+        out_arr = np.zeros((n_rows, len(a)), dtype=np.int64)
+        out_arr[nz] = mins.view(np.int64)
+        return pd.Series(list(out_arr.tolist()))
 
     return docs.select("doc_id", sig(_shingle_hash_col(k)).alias("sig"))
 
