@@ -119,3 +119,30 @@ def test_verify_blocks_audit(spark):
     assert not bad["crc_ok"] and not bad["decode_ok"]
     healthy = [r for k, r in rep2.items() if k != blocks.head()["block_id"]]
     assert all(r["decode_ok"] for r in healthy)
+
+
+def test_salting_spreads_skewed_source(spark):
+    """North rule: explicit salting for source-key skew.  source='web' is
+    ~55% of rows; salted repartition must spread it over many partitions
+    while unsalted hash partitioning concentrates it in one."""
+    df = f1_table(spark, 6000, partitions=4, rows_per_batch=1024).cache()
+
+    def web_partition_spread(frame):
+        counts = (
+            frame.withColumn("pid", F.spark_partition_id())
+            .filter(F.col("source") == "web")
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return len(counts), max(r["count"] for r in counts)
+
+    plain = df.repartition(8, F.col("source"))
+    n_plain, max_plain = web_partition_spread(plain)
+    salted = df.repartition(
+        8, F.col("source"), F.pmod(F.xxhash64(*df.columns), F.lit(8))
+    )
+    n_salted, max_salted = web_partition_spread(salted)
+    assert n_plain == 1  # all of 'web' lands in a single partition
+    assert n_salted >= 4  # salt spreads the hot key
+    assert max_salted < max_plain / 2

@@ -172,7 +172,32 @@ def encode_ints(values: np.ndarray, allow: set[int] | None = None):
         "zebra_bytes": zsize,
         "n_runs": n_runs,
     }
+    meta.update(_column_stats(values, zplan))
     return codec, thunk(), meta
+
+
+def _column_stats(values: np.ndarray, zplan) -> dict:
+    """Sampled entropy/cardinality stats for the codec-choice lineage
+    metrics (north rule: 'entropy/cardinality-driven' selection must emit
+    the driving statistics per partition)."""
+    n = len(values)
+    if n == 0:
+        return {"entropy_bits": 0.0, "cardinality_est": 0}
+    sample = values[:: max(1, n // 4096)][:4096]
+    uniq, counts = np.unique(sample, return_counts=True)
+    p = counts / counts.sum()
+    entropy = float(-(p * np.log2(p)).sum())
+    # Chao1-style scale-up when the sample looks saturated vs not
+    card_est = int(len(uniq) * (n / len(sample)) ** 0.5) if len(uniq) == len(sample) else int(len(uniq))
+    return {
+        "entropy_bits": round(entropy, 3),
+        "cardinality_est": card_est,
+        "min": zplan.vmin,
+        "max": zplan.vmax,
+        "mean_chunk_bits": round(float(zplan.nbits.mean()), 2)
+        if len(zplan.nbits)
+        else None,
+    }
 
 
 def _dict_split(values: np.ndarray, zplan):

@@ -169,7 +169,10 @@ def codec_metrics(blocks: DataFrame) -> DataFrame:
         F.col("enc_bytes"),
         F.col("zebra_bytes"),
         F.from_json(
-            F.col("meta"), "cols map<string, struct<codec:string, n:long, bytes:long, zebra_bytes:long>>"
+            F.col("meta"),
+            "cols map<string, struct<codec:string, n:long, bytes:long, "
+            "zebra_bytes:long, n_runs:long, entropy_bits:double, "
+            "cardinality_est:long, min:long, max:long, mean_chunk_bits:double>>",
         ).alias("m"),
     ).select(
         "block_id",
