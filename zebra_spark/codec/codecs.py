@@ -422,6 +422,12 @@ def encode_strings(
         "bytes": len(payload),
         "zebra_bytes": len(zebra_payload),
     }
+    if len(concat):
+        sample = np.frombuffer(concat[: 1 << 16], dtype=np.uint8)
+        counts = np.bincount(sample, minlength=256)
+        p = counts[counts > 0] / len(sample)
+        meta["entropy_bits"] = round(float(-(p * np.log2(p)).sum()), 3)
+        meta["cardinality_est"] = None  # string cardinality tracked by DICT gate
     return codec, payload, meta
 
 
