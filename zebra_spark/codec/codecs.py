@@ -344,8 +344,14 @@ def encode_strings(
     lengths: np.ndarray,
     concat: bytes,
     allow: set[int] | None = None,
+    arrow_array=None,
 ):
-    """Select + encode a string column. Returns ``(codec_id, payload, meta)``."""
+    """Select + encode a string column. Returns ``(codec_id, payload, meta)``.
+
+    ``arrow_array``: optional null-free arrow binary array of the same
+    strings; when present the DICT candidate uses Arrow's vectorized
+    ``dictionary_encode`` instead of a Python split loop.
+    """
     lengths = np.ascontiguousarray(lengths, dtype=_I64)
     n = len(lengths)
 
@@ -357,26 +363,12 @@ def encode_strings(
     candidates = {StrCodec.ZEBRA: len(zebra_payload)}
 
     if allowed(StrCodec.DICT) and n >= 16:
-        # low-cardinality detection without materializing python strings:
-        # split via offsets only when a sample repeats
-        offs = np.concatenate(([0], np.cumsum(lengths)))
-        step = max(1, n // 512)
-        sample = {
-            concat[offs[i] : offs[i + 1]] for i in range(0, n, step)
-        }
-        if len(sample) <= max(1, len(range(0, n, step)) // 2):
-            uniq_map: dict[bytes, int] = {}
-            idx = np.empty(n, dtype=_I64)
-            for i in range(n):
-                s = concat[offs[i] : offs[i + 1]]
-                code = uniq_map.setdefault(s, len(uniq_map))
-                idx[i] = code
-            uniq_list = list(uniq_map)
-            u_len = np.array([len(s) for s in uniq_list], dtype=_I64)
-            u_concat = b"".join(uniq_list)
+        dict_parts = _string_dict_split(lengths, concat, n, arrow_array)
+        if dict_parts is not None:
+            u_len, u_concat, idx = dict_parts
             icodec, ipayload, _ = encode_ints(idx)
             payload = (
-                np.uint32(len(uniq_list)).astype("<u4").tobytes()
+                np.uint32(len(u_len)).astype("<u4").tobytes()
                 + pack_strings(u_len, u_concat)
                 + bytes([icodec])
                 + ipayload
@@ -429,6 +421,49 @@ def encode_strings(
         meta["entropy_bits"] = round(float(-(p * np.log2(p)).sum()), 3)
         meta["cardinality_est"] = None  # string cardinality tracked by DICT gate
     return codec, payload, meta
+
+
+def _string_dict_split(lengths, concat, n, arrow_array):
+    """(uniq_lengths, uniq_concat, indices) for the string DICT candidate,
+    or None when cardinality is too high to pay off.
+
+    Vectorized via arrow dictionary_encode when the array is available;
+    otherwise a sampled Python fallback (tests / raw-bytes callers)."""
+    if arrow_array is not None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        denc = pc.dictionary_encode(arrow_array)
+        uniq = denc.dictionary
+        if len(uniq) > n // 2:
+            return None
+        u = uniq.cast(pa.large_binary())
+        bufs = u.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[: len(u) + 1]
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2]
+            else np.empty(0, np.uint8)
+        )
+        u_len = np.diff(offs).astype(_I64)
+        u_concat = data[offs[0] : offs[-1]].tobytes()
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(_I64)
+        return u_len, u_concat, idx
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    step = max(1, n // 512)
+    sample = {concat[offs[i] : offs[i + 1]] for i in range(0, n, step)}
+    if len(sample) > max(1, len(range(0, n, step)) // 2):
+        return None
+    uniq_map: dict[bytes, int] = {}
+    idx = np.empty(n, dtype=_I64)
+    for i in range(n):
+        s = concat[offs[i] : offs[i + 1]]
+        idx[i] = uniq_map.setdefault(s, len(uniq_map))
+    if len(uniq_map) > n // 2:
+        return None
+    uniq_list = list(uniq_map)
+    u_len = np.array([len(s) for s in uniq_list], dtype=_I64)
+    return u_len, b"".join(uniq_list), idx
 
 
 def decode_strings(codec: int, buf, n: int, pos: int = 0):
