@@ -42,6 +42,28 @@ def _q_roundtrip(name: str):
     return q
 
 
+def _q_roundtrip_embeddings(spark, sf_dir):
+    """Embeddings round-trip with the float array projected to scalars the
+    driver can canonicalize: dim + an index-weighted sequential checksum
+    (left-fold double addition matches DuckDB's list_sum bit-for-bit)."""
+    rt = _roundtrip(spark, sf_dir, "embeddings")
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda x, i: x.cast("double") * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return rt.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("emb_dim"),
+        checksum.alias("emb_checksum"),
+    )
+
+
 def _q_token_count(spark, sf_dir):
     from zebra_spark.functions.text import token_count
 
@@ -119,7 +141,8 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents' bytes as opaque media payloads ->
-    fixed-size feature vectors (rows-only check; decode itself is stubbed)."""
+    byte-histogram features, hash-verified against a DuckDB byte-level
+    oracle via the exact integer histogram (media decode itself is stubbed)."""
     from zebra_spark.functions.multimodal import extract_features
 
     media = _load(spark, sf_dir, "documents").select(
@@ -130,7 +153,15 @@ def _q_media_features(spark, sf_dir):
         .cast("struct<height:int,width:int,channels:int,duration_ms:int>")
         .alias("meta"),
     )
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.md5(
+            F.concat_ws(",", F.transform("hist", lambda x: x.cast("string")))
+        ).alias("hist_digest"),
+    )
 
 
 def _q_roundtrip_synthetic_tokens(spark, sf_dir):
@@ -141,7 +172,13 @@ def _q_roundtrip_synthetic_tokens(spark, sf_dir):
     from zebra_spark.sources.synth import f1_table
 
     df = f1_table(spark, 5000, partitions=8, rows_per_batch=1 << 10)
-    return decode_df(encode_df(df, rows_per_block=1 << 10), schema=df.schema)
+    rt = decode_df(encode_df(df, rows_per_block=1 << 10), schema=df.schema)
+    # project the token array to a hashable digest so the driver's row
+    # canonicalization works (xxhash64 over the full array is order- and
+    # value-exact, so bit-identity is still what's being checked)
+    return rt.select(
+        "doc_id", "n_tok", "source", F.xxhash64("tokens").alias("tokens_digest")
+    )
 
 
 def _q_orders_by_status(spark, sf_dir):
@@ -177,6 +214,135 @@ def _q_nation_customer_orders(spark, sf_dir):
     )
 
 
+def _merge_inputs(spark, sf_dir):
+    """Two keyed tables derived from orders: array + string value columns
+    (collections deep-merge; Logical.hs:251-335 semantics)."""
+    orders = _load(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.array(F.concat(F.lit("A:"), "o_orderstatus")).alias("events"),
+        F.concat(F.lit("p="), "o_orderpriority").alias("log"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.array(F.concat(F.lit("B:"), "o_orderpriority")).alias("events"),
+        F.concat(F.lit("s="), "o_orderstatus").alias("log"),
+    )
+    return a, b
+
+
+def _q_merge_tables(spark, sf_dir):
+    """K-way keyed merge: arrays concatenate in input order, strings concat
+    (zebra Logical.merge); array output digested for driver canonicalization."""
+    from zebra_spark.operators.merge import merge_tables
+
+    a, b = _merge_inputs(spark, sf_dir)
+    merged, _dropped = merge_tables([a, b], ["k"])
+    return merged.select(
+        "k",
+        F.md5(F.concat_ws("|", "events")).alias("events_digest"),
+        "log",
+    )
+
+
+def _q_merge_row_cap(spark, sf_dir):
+    """MaximumRowSize drop metrics (Merge/Table.hs:157-163): keys whose
+    accumulated merged size exceeds the cap are dropped AND counted."""
+    from zebra_spark.operators.merge import merge_tables
+
+    a, b = _merge_inputs(spark, sf_dir)
+    _kept, dropped = merge_tables([a, b], ["k"], max_row_bytes=60)
+    return dropped
+
+
+def _q_transmute_widen(spark, sf_dir):
+    """Striped.transmute: adapt to a wider schema, AllowDefault fills."""
+    from pyspark.sql import types as T
+
+    from zebra_spark.operators.merge import transmute
+
+    nation = _load(spark, sf_dir, "nation")
+    target = T.StructType(
+        list(nation.schema.fields)
+        + [
+            T.StructField("extra_note", T.StringType()),
+            T.StructField("extra_rank", T.LongType()),
+        ]
+    )
+    return transmute(nation, target)
+
+
+def _q_union_widening(spark, sf_dir):
+    """Schema.union + unionStriped: inputs with different column subsets
+    widen to the union schema with typed defaults (Merge/Table.hs:224-251)."""
+    from zebra_spark.operators.merge import union_tables
+
+    nation = _load(spark, sf_dir, "nation")
+    a = nation.select("n_nationkey", "n_name")
+    b = nation.select("n_nationkey", "n_regionkey")
+    return union_tables([a, b])
+
+
+def _q_rechunk_blocks(spark, sf_dir):
+    """Striped.rechunk: re-block at a smaller rows-per-block, decode back —
+    rows must be preserved exactly through the re-encode."""
+    from zebra_spark.operators.rechunk import rechunk_blocks
+
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+
+    df = _load(spark, sf_dir, "lineitem")
+    blocks = encode_df(df, rows_per_block=1 << 16)
+    small = rechunk_blocks(blocks, rows_per_block=4096, schema=df.schema)
+    return decode_df(small, schema=df.schema)
+
+
+def _q_blocks_summary(spark, sf_dir):
+    """zebra summary: streaming fold over block metadata (Summary.hs:64-100)
+    — row totals + key range computed inside the encoder, block caps held."""
+    from zebra_spark.operators.encode import encode_df
+    from zebra_spark.plans.summary import blocks_summary
+
+    blocks = encode_df(
+        _load(spark, sf_dir, "orders"), rows_per_block=4096, key_col="o_orderkey"
+    )
+    s = blocks_summary(blocks)
+    kr = blocks.groupBy().agg(
+        F.min(F.col("key_min").cast("long")).alias("min_key"),
+        F.max(F.col("key_max").cast("long")).alias("max_key"),
+    )
+    return s.crossJoin(kr).select(
+        "total_rows",
+        (F.col("max_rows_per_block") <= 4096).alias("capped"),
+        "min_key",
+        "max_key",
+    )
+
+
+def _q_consistency_check(spark, sf_dir):
+    """zebra consistency (Consistency.hs:77-125): inter-block key-ordering
+    violations over a block-metadata table with deterministically injected
+    overlaps."""
+    from zebra_spark.plans.summary import consistency_check
+
+    orders = _load(spark, sf_dir, "orders")
+    meta = (
+        orders.groupBy(F.floor(F.col("o_orderkey") / 1000).alias("bn"))
+        .agg(
+            F.min("o_orderkey").alias("kmin"),
+            F.max("o_orderkey").alias("kmax"),
+        )
+        .select(
+            F.col("bn").cast("string").alias("block_id"),
+            F.when(F.col("bn") % 7 == 3, F.col("kmin") - 1500)
+            .otherwise(F.col("kmin"))
+            .alias("key_min"),
+            F.col("kmax").alias("key_max"),
+        )
+    )
+    return consistency_check(meta)
+
+
 def _q_encode_summary(spark, sf_dir):
     from zebra_spark.operators.encode import encode_df
 
@@ -207,8 +373,9 @@ def _q_verify_blocks(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable] = {
         f"roundtrip_{t}": _q_roundtrip(t)
-        for t in ("documents", "lineitem", "orders", "events", "embeddings", "part")
+        for t in ("documents", "lineitem", "orders", "events", "part")
     }
+    qs["roundtrip_embeddings"] = _q_roundtrip_embeddings
     qs.update(
         {
             "token_count": _q_token_count,
@@ -227,6 +394,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "roundtrip_synthetic_tokens": _q_roundtrip_synthetic_tokens,
             "encode_summary": _q_encode_summary,
             "verify_blocks": _q_verify_blocks,
+            "merge_tables": _q_merge_tables,
+            "merge_row_cap": _q_merge_row_cap,
+            "transmute_widen": _q_transmute_widen,
+            "union_widening": _q_union_widening,
+            "rechunk_blocks": _q_rechunk_blocks,
+            "blocks_summary": _q_blocks_summary,
+            "consistency_check": _q_consistency_check,
         }
     )
     return qs
@@ -238,7 +412,23 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_orders": "SELECT * FROM orders",
         "roundtrip_events": "SELECT * FROM events",
-        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "roundtrip_embeddings": (
+            "SELECT vec_id, label, len(embedding) AS emb_dim, "
+            "list_sum(list_transform(list_zip(embedding, range(1, len(embedding)+1)), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS emb_checksum "
+            "FROM embeddings"
+        ),
+        "media_features": (
+            "WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "'text-bytes' AS kind, octet_length(encode(text)) AS nb, "
+            "hex(encode(text)) AS hx FROM documents), "
+            "w AS (SELECT media_id, kind, nb, "
+            "list_transform(range(0, nb), i -> "
+            "CAST('0x' || substr(hx, 2*i+1, 2) AS INT) // 8) AS buckets FROM b) "
+            "SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes, "
+            "md5(array_to_string(list_transform(range(0, 32), j -> "
+            "len(list_filter(buckets, v -> v = j))), ',')) AS hist_digest FROM w"
+        ),
         "roundtrip_part": "SELECT * FROM part",
         "token_count": (
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -278,6 +468,52 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "merge_tables": (
+            "WITH a AS (SELECT o_orderkey AS k, ['A:' || o_orderstatus] AS events, "
+            "'p=' || o_orderpriority AS log FROM orders), "
+            "b AS (SELECT o_orderkey AS k, ['B:' || o_orderpriority] AS events, "
+            "'s=' || o_orderstatus AS log FROM orders WHERE o_orderkey % 3 = 0), "
+            "u AS (SELECT k, events, log, 0 AS src FROM a "
+            "UNION ALL SELECT k, events, log, 1 AS src FROM b) "
+            "SELECT k, md5(array_to_string(flatten(list(events ORDER BY src)), '|')) "
+            "AS events_digest, string_agg(log, '' ORDER BY src) AS log "
+            "FROM u GROUP BY k ORDER BY k"
+        ),
+        "merge_row_cap": (
+            "WITH a AS (SELECT o_orderkey AS k, "
+            "CAST(16 + 2 + length(o_orderpriority) + 8 AS BIGINT) AS term FROM orders), "
+            "b AS (SELECT o_orderkey AS k, CAST(16 + 3 + 8 AS BIGINT) AS term "
+            "FROM orders WHERE o_orderkey % 3 = 0), "
+            "u AS (SELECT * FROM a UNION ALL SELECT * FROM b) "
+            "SELECT k, CAST(SUM(term) AS BIGINT) AS row_bytes FROM u GROUP BY k "
+            "HAVING SUM(term) > 60 ORDER BY k"
+        ),
+        "transmute_widen": (
+            "SELECT n_nationkey, n_name, n_regionkey, '' AS extra_note, "
+            "CAST(0 AS BIGINT) AS extra_rank FROM nation"
+        ),
+        "union_widening": (
+            "SELECT n_nationkey, n_name, CAST(0 AS INT) AS n_regionkey FROM nation "
+            "UNION ALL "
+            "SELECT n_nationkey, '' AS n_name, n_regionkey FROM nation"
+        ),
+        "rechunk_blocks": "SELECT * FROM lineitem",
+        "blocks_summary": (
+            "SELECT COUNT(*) AS total_rows, TRUE AS capped, "
+            "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM orders"
+        ),
+        "consistency_check": (
+            "WITH m AS (SELECT CAST(FLOOR(o_orderkey / 1000) AS BIGINT) AS bn, "
+            "MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax FROM orders GROUP BY bn), "
+            "m2 AS (SELECT CAST(bn AS VARCHAR) AS block_id, "
+            "CASE WHEN bn % 7 = 3 THEN kmin - 1500 ELSE kmin END AS key_min, "
+            "kmax AS key_max FROM m), "
+            "l AS (SELECT block_id, key_min, key_max, "
+            "LAG(key_max) OVER (ORDER BY key_min, block_id) AS prev_max FROM m2) "
+            "SELECT block_id, key_min AS block_min, prev_max AS previous_block_max "
+            "FROM l WHERE prev_max IS NOT NULL AND key_min <= prev_max "
+            "ORDER BY block_id"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "

@@ -200,3 +200,26 @@ def test_rechunk_preserves_rows(spark):
     assert big.agg({"n_rows": "max"}).collect()[0][0] <= 512
     out = decode_df(big, schema=df.schema)
     assert df.exceptAll(out).count() == 0 and out.exceptAll(df).count() == 0
+
+
+def test_merge_binary_concat_preserves_bytes(spark):
+    """zebra Binary merge = byte concatenation (Logical.hs:254-255); the
+    merged column must stay BinaryType and non-UTF8 bytes must survive."""
+    a = spark.createDataFrame([(1, b"\xff\xfe\x01")], "k long, blob binary")
+    b = spark.createDataFrame([(1, b"\x00\x80"), (2, b"\x7f")], "k long, blob binary")
+    merged, _ = merge_tables([a, b], ["k"])
+    assert dict(merged.dtypes)["blob"] == "binary"
+    rows = {r["k"]: bytes(r["blob"]) for r in merged.collect()}
+    assert rows[1] == b"\xff\xfe\x01\x00\x80"
+    assert rows[2] == b"\x7f"
+
+
+def test_merge_null_scalar_is_deterministic(spark):
+    """NULL-vs-value on a scalar is not a collision: the non-null value wins
+    deterministically (first ignorenulls), regardless of shuffle order."""
+    a = spark.createDataFrame([(1, None), (2, 5)], "k long, v long")
+    b = spark.createDataFrame([(1, 7), (2, None)], "k long, v long")
+    for _ in range(3):
+        merged, _ = merge_tables([b, a], ["k"])
+        rows = {r["k"]: r["v"] for r in merged.collect()}
+        assert rows == {1: 7, 2: 5}

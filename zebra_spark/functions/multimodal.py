@@ -30,7 +30,10 @@ MEDIA_DDL = (
     "meta struct<height:int, width:int, channels:int, duration_ms:int>"
 )
 
-FEATURES_DDL = "media_id string, kind string, n_bytes long, features array<float>"
+FEATURES_DDL = (
+    "media_id string, kind string, n_bytes long, hist array<int>, "
+    "features array<float>"
+)
 
 N_FEATURES = 32
 
@@ -63,41 +66,70 @@ def decode_image(payload: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
 
 
-def _features_of(payload: bytes) -> np.ndarray:
-    """Cheap content fingerprint: byte histogram folded to N_FEATURES dims.
+def _batch_features(payloads: pa.Array):
+    """Byte-histogram features for a whole Arrow binary column at once.
 
-    Works on ANY payload (no decode needed) — the honest scalable baseline
-    for dedup/similarity over opaque media bytes.
+    One pass over the CONCATENATED payload buffer — no per-row Python loop:
+    bucket = byte >> 3 (256/N_FEATURES = 8 bytes per bucket), per-row counts
+    via a single bincount over ``row_index * N_FEATURES + bucket``.  Returns
+    (lengths int64[n], hist int64[n, N_FEATURES], features float32[n, N]).
     """
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr, minlength=256).astype(np.float32)
-    folded = hist.reshape(N_FEATURES, 256 // N_FEATURES).sum(axis=1)
-    norm = np.linalg.norm(folded)
-    return folded / norm if norm > 0 else folded
+    barr = payloads.combine_chunks() if isinstance(payloads, pa.ChunkedArray) else payloads
+    barr = barr.cast(pa.large_binary())
+    bufs = barr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+        barr.offset : barr.offset + len(barr) + 1
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    flat = data[offsets[0] : offsets[-1]]
+    lengths = np.diff(offsets)
+    n = len(barr)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    buckets = (flat >> 3).astype(np.int64)
+    hist = np.bincount(
+        row_idx * N_FEATURES + buckets, minlength=n * N_FEATURES
+    ).reshape(n, N_FEATURES)
+    folded = hist.astype(np.float32)
+    norms = np.sqrt((folded * folded).sum(axis=1))
+    norms[norms == 0] = 1.0
+    feats = folded / norms[:, None]
+    return lengths, hist, feats
+
+
+def _features_of(payload: bytes) -> np.ndarray:
+    """Single-payload fingerprint (tests / driver-side use)."""
+    _, _, feats = _batch_features(pa.array([payload], type=pa.large_binary()))
+    return feats[0]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """media table -> fixed-size feature vectors, batched via mapInArrow."""
+    """media table -> byte-histogram feature vectors, batched via mapInArrow.
+
+    ``hist`` carries the exact integer byte-bucket counts (oracle-checkable);
+    ``features`` is the L2-normalized float view for similarity ops.
+    """
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            ids = rb.column("media_id")
-            kinds = rb.column("kind")
-            payloads = rb.column("payload")
-            feats = []
-            sizes = []
-            for i in range(rb.num_rows):
-                p = payloads[i].as_py()
-                sizes.append(len(p))
-                feats.append(_features_of(p).tolist())
+            lengths, hist, feats = _batch_features(rb.column("payload"))
+            n = rb.num_rows
             yield pa.RecordBatch.from_arrays(
                 [
-                    ids,
-                    kinds,
-                    pa.array(sizes, type=pa.int64()),
-                    pa.array(feats, type=pa.list_(pa.float32())),
+                    rb.column("media_id"),
+                    rb.column("kind"),
+                    pa.array(lengths, type=pa.int64()),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(hist.reshape(-1), type=pa.int32()), N_FEATURES
+                    ).cast(pa.list_(pa.int32())),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(feats.reshape(-1), type=pa.float32()), N_FEATURES
+                    ).cast(pa.list_(pa.float32())),
                 ],
-                names=["media_id", "kind", "n_bytes", "features"],
+                names=["media_id", "kind", "n_bytes", "hist", "features"],
             )
 
     return media.mapInArrow(run, schema=FEATURES_DDL)

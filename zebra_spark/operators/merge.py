@@ -141,9 +141,7 @@ def _merge_agg(field: T.StructField, order_col: str):
                 F.map_filter(m, lambda k, v: ~F.array_contains(F.map_keys(acc), k)),
             ),
         ).alias(name)
-    if isinstance(field.dataType, T.StringType) or isinstance(
-        field.dataType, T.BinaryType
-    ):
+    if isinstance(field.dataType, T.StringType):
         # zebra Binary merge = concat (Logical.hs:254-255)
         return F.array_join(
             F.transform(
@@ -154,15 +152,34 @@ def _merge_agg(field: T.StructField, order_col: str):
             ),
             "",
         ).alias(name)
+    if isinstance(field.dataType, T.BinaryType):
+        # byte concatenation via a binary fold — array_join would implicitly
+        # cast array<binary> to array<string> and corrupt non-UTF8 bytes
+        ordered = F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), F.col(name).alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        )
+        return F.aggregate(
+            ordered,
+            F.lit(b""),
+            lambda acc, v: F.concat(acc, F.coalesce(v, F.lit(b""))),
+        ).alias(name)
     # scalar: collision is a data error (Logical.hs:315-322).  The
     # assert_true is woven into the value expression (NULL on success, via
-    # coalesce) so Catalyst cannot prune it away.
+    # coalesce) so Catalyst cannot prune it away.  collect_set drops NULLs,
+    # so NULL-vs-value merges deterministically to the value
+    # (first ignorenulls) and collision means >= 2 distinct non-null values.
     check = F.assert_true(
         F.size(F.collect_set(name)) <= 1,
         F.lit(f"merge collision on scalar column {name}"),
     )
     return F.when(
-        F.coalesce(check.cast("int"), F.lit(0)) == 0, F.first(name)
+        F.coalesce(check.cast("int"), F.lit(0)) == 0,
+        F.first(name, ignorenulls=True),
     ).alias(name)
 
 
