@@ -343,6 +343,36 @@ def _q_consistency_check(spark, sf_dir):
     return consistency_check(meta)
 
 
+def _q_enum_roundtrip(spark, sf_dir):
+    """Enum / sum-type columns (Schema.hs:92): an option<string> enum built
+    with fromVariant default materialization (Striped.hs:512-528) survives
+    the block codec (tag through the int codec, bTagArray parity) and
+    destructures back (takeOption, Schema.hs:311-321)."""
+    from pyspark.sql import types as T
+
+    from zebra_spark.functions.enums import enum_to_option, option_to_enum
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+
+    orders = _load(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        option_to_enum(
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+                F.col("o_orderpriority")
+            ),
+            T.StringType(),
+        ).alias("prio_opt"),
+    )
+    rt = decode_df(encode_df(df, rows_per_block=4096), schema=df.schema)
+    return rt.select(
+        "o_orderkey",
+        F.col("prio_opt.tag").alias("tag"),
+        F.col("prio_opt.v_some").alias("v_some"),
+        enum_to_option(F.col("prio_opt")).alias("restored"),
+    )
+
+
 def _q_encode_summary(spark, sf_dir):
     from zebra_spark.operators.encode import encode_df
 
@@ -394,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "roundtrip_synthetic_tokens": _q_roundtrip_synthetic_tokens,
             "encode_summary": _q_encode_summary,
             "verify_blocks": _q_verify_blocks,
+            "enum_roundtrip": _q_enum_roundtrip,
             "merge_tables": _q_merge_tables,
             "merge_row_cap": _q_merge_row_cap,
             "transmute_widen": _q_transmute_widen,
@@ -468,6 +499,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "enum_roundtrip": (
+            "SELECT o_orderkey, "
+            "CAST(CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS tag, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE o_orderpriority END AS v_some, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS restored "
+            "FROM orders"
         ),
         "merge_tables": (
             "WITH a AS (SELECT o_orderkey AS k, ['A:' || o_orderstatus] AS events, "
