@@ -98,3 +98,45 @@ def test_lsh_ann_recall_on_planted_neighbor(embeddings):
     res = lsh_ann_topk(embeddings, queries, dim=16, k=3, bits=4).collect()
     # planted near-copy lands in the same hyperplane bucket
     assert any(r["neighbor_id"] == 100 for r in res)
+
+
+def test_lsh_hot_bucket_cap_drops_and_records(spark):
+    """A boilerplate mega-bucket (many identical docs) must not explode the
+    band self-join: buckets above the cap are dropped and counted."""
+    from zebra_spark.functions.dedup import minhash_lsh_candidates
+
+    rows = [(f"dup-{i:04d}", "same boilerplate text repeated everywhere") for i in range(300)]
+    rows += [(f"uni-{i}", f"unique document number {i} with words {i * 7}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs, dropped = minhash_lsh_candidates(docs, max_bucket=64, with_metrics=True)
+    d = dropped.collect()
+    assert len(d) > 0 and all(r["n_docs"] == 300 for r in d)
+    # no pair from the mega-bucket survives; join stays tiny
+    assert pairs.filter(F.col("doc_a").startswith("dup")).count() == 0
+
+
+def test_lsh_cap_keeps_small_buckets(spark):
+    from zebra_spark.functions.dedup import minhash_lsh_candidates
+
+    rows = [("a", "the quick brown fox jumps over the lazy dog today"),
+            ("b", "the quick brown fox jumps over the lazy dog today"),
+            ("c", "完全 different content that shares nothing at all here")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = minhash_lsh_candidates(docs, max_bucket=64)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert ("a", "b") in got
+
+
+def test_minhash_sliced_equals_whole():
+    """Bounded-slice signature fold must equal the single-shot fold."""
+    from zebra_spark.functions.dedup import _fold_signatures, _minhash_params
+
+    rng = np.random.default_rng(7)
+    hashes = [rng.integers(-(2**62), 2**62, size=rng.integers(0, 300)).tolist()
+              for _ in range(40)]
+    hashes[3] = None
+    hashes[9] = []
+    a, b = _minhash_params(64)
+    whole = _fold_signatures(hashes, a, b, max_slice=1 << 20)
+    sliced = _fold_signatures(hashes, a, b, max_slice=17)
+    assert (whole == sliced).all()

@@ -53,3 +53,33 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     ids = sorted(r["doc_id"] for r in rows)
     assert ids == ["d1", "d3", "d5"]  # d4 suppressed by cross-batch state
+
+
+def test_dedup_fn_timeout_path_removes_state():
+    """ProcessingTimeTimeout fires with an EMPTY iterator: the function must
+    not crash on pd.concat([]), must drop the state (bounded state), and
+    must NOT re-arm the timeout."""
+    from zebra_spark.streaming.dedup_stream import _dedup_fn
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+
+        def __init__(self):
+            self.removed = False
+            self.rearmed = False
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.rearmed = True
+
+        def update(self, v):
+            raise AssertionError("must not update on timeout")
+
+    st = FakeState()
+    out = list(_dedup_fn(("digest",), iter([]), st))
+    assert st.removed and not st.rearmed
+    assert len(out) == 1 and len(out[0]) == 0
+    assert list(out[0].columns) == ["digest", "doc_id", "n_seen_in_batch"]

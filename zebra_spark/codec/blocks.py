@@ -42,9 +42,59 @@ from .codecs import (
     skip_strings,
 )
 
-__all__ = ["encode_batch", "decode_batch", "BLOCK_MAGIC"]
+__all__ = [
+    "encode_batch",
+    "decode_batch",
+    "BLOCK_MAGIC",
+    "StripedMapNotSorted",
+    "StripedMapDuplicateKeys",
+    "annotate_zebra_encodings",
+    "ZEBRA_EPOCH_OFFSET_DAYS",
+]
 
 BLOCK_MAGIC = b"ZSB1"
+
+# zebra stores Date/Time int columns as counts since 1600-03-01
+# (Encoding.hs:53-63; Time.hs:104-116 defines validity [1600-03-01,
+# 3000-01-01)).  Arrow/Spark temporals count from 1970-01-01; the offset is
+# carried as block-schema metadata so a zebra-side reader can re-base.
+ZEBRA_EPOCH_OFFSET_DAYS = 135080  # days from 1600-03-01 to 1970-01-01
+
+
+def _zebra_encoding_of(t: pa.DataType) -> str | None:
+    """zebra logical int encoding tag for an arrow type (Encoding.hs:57-63)."""
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return {
+            "s": "time_seconds",
+            "ms": "time_milliseconds",
+            "us": "time_microseconds",
+            "ns": "time_nanoseconds",  # extension: zebra stops at us
+        }[t.unit]
+    if pa.types.is_integer(t):
+        return "int"
+    return None
+
+
+def annotate_zebra_encodings(schema: pa.Schema) -> pa.Schema:
+    """Attach zebra logical-encoding metadata to int/temporal fields so the
+    self-describing block schema is zebra-interpretable (the stored int64
+    values stay arrow-epoch raw bits; re-basing to the 1600-03-01 epoch is
+    ``value + offset`` using the recorded offset)."""
+    fields = []
+    for f in schema:
+        enc = _zebra_encoding_of(f.type)
+        if enc is None:
+            fields.append(f)
+            continue
+        md = dict(f.metadata or {})
+        md[b"zebra.encoding"] = enc.encode()
+        if enc != "int":
+            md[b"zebra.epoch"] = b"1600-03-01"
+            md[b"zebra.epoch_offset_days"] = str(ZEBRA_EPOCH_OFFSET_DAYS).encode()
+        fields.append(f.with_metadata(md))
+    return pa.schema(fields, metadata=schema.metadata)
 
 _I64 = np.int64
 
@@ -257,6 +307,44 @@ def encode_batch(batch: pa.RecordBatch):
     return payload, meta
 
 
+class StripedMapNotSorted(ValueError):
+    """Map keys within a row are not strictly ascending (Striped.hs:572-585)."""
+
+
+class StripedMapDuplicateKeys(ValueError):
+    """Duplicate map keys within a row (Striped.hs:586-591)."""
+
+
+def _validate_map_rows(entries: pa.Array, lengths: np.ndarray, n: int):
+    """Per-row key sortedness/uniqueness, vectorized: one adjacent-pair
+    comparison over the flat key child, masked to within-row pairs.
+
+    zebra enforces this whenever a striped map is reconstituted to logical
+    form (Striped.hs:572-591); it is opt-in here because Spark map columns
+    carry no ordering invariant (zebra's Map is a sorted container by
+    construction, ours is whatever the source produced).
+    """
+    keys = entries.field("key") if isinstance(entries, pa.StructArray) else entries
+    inner_n = len(keys)
+    if inner_n <= 1 or n == 0:
+        return
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    same_row = row_id[1:] == row_id[:-1]
+    if not same_row.any():
+        return
+    try:
+        gt = pc.greater(keys.slice(1), keys.slice(0, inner_n - 1))
+        eq = pc.equal(keys.slice(1), keys.slice(0, inner_n - 1))
+    except pa.lib.ArrowNotImplementedError:
+        return  # non-comparable key type: skip (zebra has no such keys)
+    gt_np = gt.to_numpy(zero_copy_only=False)
+    eq_np = eq.to_numpy(zero_copy_only=False)
+    if (same_row & eq_np).any():
+        raise StripedMapDuplicateKeys("duplicate map keys within a row")
+    if (same_row & ~gt_np & ~eq_np).any():
+        raise StripedMapNotSorted("map keys not strictly ascending within a row")
+
+
 def _decode_column(mv: memoryview, pos: int, t: pa.DataType, n: int):
     flags = mv[pos]
     pos += 1
@@ -358,12 +446,40 @@ def _skip_column(mv: memoryview, pos: int, t: pa.DataType, n: int) -> int:
     raise NotImplementedError(f"unsupported arrow type for block skip: {t}")
 
 
-def decode_batch(payload, schema: pa.Schema, columns=None) -> pa.RecordBatch:
+def _walk_validate_maps(arr: pa.Array):
+    """Recursively validate every map node in a decoded column."""
+    t = arr.type
+    if pa.types.is_map(t):
+        as_list = arr.cast(_map_as_list_type(t))
+        lengths_arr = pc.list_value_length(as_list)
+        if lengths_arr.null_count:
+            lengths_arr = pc.fill_null(lengths_arr, 0)
+        lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
+        entries = as_list.flatten()
+        _validate_map_rows(entries, lengths, len(arr))
+        for i in range(entries.type.num_fields):
+            _walk_validate_maps(entries.field(i))
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        _walk_validate_maps(arr.flatten())
+    elif pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            _walk_validate_maps(arr.field(i))
+
+
+def decode_batch(
+    payload, schema: pa.Schema, columns=None, validate_maps: bool = False
+) -> pa.RecordBatch:
     """Inverse of :func:`encode_batch` for the given arrow schema.
 
     ``columns``: optional iterable of top-level column names — other
     sections are SKIPPED (header parsing only, no decompression), the
     block-level analogue of parquet column pruning.
+
+    ``validate_maps``: enforce zebra's sorted/duplicate-free Map invariant
+    on every decoded map node (Striped.hs:572-591, raising the
+    ``StripedMapNotSorted`` / ``StripedMapDuplicateKeys`` equivalents).
+    Opt-in: Spark map columns carry no ordering invariant, so blocks we
+    encoded from arbitrary Spark data may legitimately hold unsorted maps.
     """
     mv = memoryview(payload)
     if bytes(mv[:4]) != BLOCK_MAGIC:
@@ -381,6 +497,8 @@ def decode_batch(payload, schema: pa.Schema, columns=None) -> pa.RecordBatch:
     for field in schema:
         if want is None or field.name in want:
             arr, pos = _decode_column(mv, pos, field.type, n_rows)
+            if validate_maps:
+                _walk_validate_maps(arr)
             arrays.append(arr)
             fields.append(field)
         else:

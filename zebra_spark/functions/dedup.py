@@ -53,36 +53,76 @@ def _minhash_params(n_hashes: int):
     return a, b
 
 
+MAX_SHINGLES_PER_SLICE = 1 << 20  # bounds the (shingles, n_hashes) matrix
+
+
+def _fold_signatures(
+    hashes, a: np.ndarray, b: np.ndarray, max_slice: int
+) -> np.ndarray:
+    """Per-row minhash minima over a sequence of shingle-hash lists.
+
+    Vectorized, but in bounded row-aligned slices: the temporary
+    (shingles, n_hashes) matrix is capped at ~n_hashes * max_slice u64
+    (~512 MB worst case at the defaults), independent of batch size — a
+    batch of 10k long documents must not materialize multiple GB.
+    """
+    lens = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
+    n_rows = len(hashes)
+    out_arr = np.zeros((n_rows, len(a)), dtype=np.uint64)
+    if n_rows == 0 or lens.sum() == 0:
+        return out_arr
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+    ).view(np.uint64)
+    nz_rows = np.flatnonzero(lens > 0)
+    nz_lens = lens[nz_rows]
+    row_end = np.cumsum(nz_lens)
+    row_start = row_end - nz_lens
+    r = 0
+    while r < len(nz_rows):
+        # take rows until the slice holds ~max_slice shingles (>=1 row)
+        e = int(np.searchsorted(row_end, row_start[r] + max_slice, side="left"))
+        e = max(e, r + 1)
+        sl = flat[row_start[r] : row_end[e - 1]]
+        with np.errstate(over="ignore"):
+            mat = a[None, :] * sl[:, None] + b[None, :]  # wrapping uint64
+        starts = row_start[r:e] - row_start[r]
+        mins = np.minimum.reduceat(mat, starts, axis=0)
+        out_arr[nz_rows[r:e]] = mins
+        r = e
+    return out_arr
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, k: int = 5) -> DataFrame:
     a, b = _minhash_params(n_hashes)
 
     @pandas_udf("array<long>")
     def sig(hashes: pd.Series) -> pd.Series:
-        # whole-batch vectorization: one (total_shingles, n_hashes) matrix,
-        # per-row minima via minimum.reduceat over row boundaries
-        lens = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
-        n_rows = len(hashes)
-        if n_rows == 0 or lens.sum() == 0:
-            return pd.Series([[0] * len(a)] * n_rows)
-        flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
-        ).view(np.uint64)
-        with np.errstate(over="ignore"):
-            mat = a[None, :] * flat[:, None] + b[None, :]  # wrapping uint64
-        nz = lens > 0
-        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
-        mins = np.minimum.reduceat(mat, starts, axis=0)  # (n_nonzero_rows, n_hashes)
-        out_arr = np.zeros((n_rows, len(a)), dtype=np.int64)
-        out_arr[nz] = mins.view(np.int64)
-        return pd.Series(list(out_arr.tolist()))
+        out_arr = _fold_signatures(hashes, a, b, MAX_SHINGLES_PER_SLICE)
+        return pd.Series(out_arr.view(np.int64).tolist())
 
     return docs.select("doc_id", sig(_shingle_hash_col(k)).alias("sig"))
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
-) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH on minhash signatures."""
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int = 1024,
+    with_metrics: bool = False,
+):
+    """Candidate near-duplicate pairs via banded LSH on minhash signatures.
+
+    Hot-bucket guard: the band self-join is quadratic in bucket size, so one
+    boilerplate mega-bucket (empty docs, shared headers) would be O(k^2) at
+    corpus scale.  Buckets above ``max_bucket`` members are DROPPED before
+    the join and counted — the MaximumRowSize discipline (Merge/Table.hs:
+    157-163) applied to LSH.  Singleton buckets are pruned too (no pair can
+    come out of them), which removes most of the join input.
+
+    ``with_metrics=True`` additionally returns the dropped-bucket metrics
+    frame (band, bh, n_docs).
+    """
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(docs, n_hashes)
     bands = sigs.select(
@@ -94,9 +134,14 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_sig"),
     ).select("doc_id", "band", F.hash("band_sig").alias("bh"))
-    left = bands.alias("l")
-    right = bands.alias("r")
-    return (
+    counts = bands.groupBy("band", "bh").agg(F.count("*").alias("n_docs"))
+    eligible = counts.filter(
+        (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_bucket)
+    ).select("band", "bh")
+    pruned = bands.join(eligible, ["band", "bh"])
+    left = pruned.alias("l")
+    right = pruned.alias("r")
+    pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -109,6 +154,10 @@ def minhash_lsh_candidates(
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+    if with_metrics:
+        dropped = counts.filter(F.col("n_docs") > max_bucket)
+        return pairs, dropped
+    return pairs
 
 
 def simhash(docs: DataFrame) -> DataFrame:

@@ -44,21 +44,73 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against the corpus.
 
-    ``queries``: (query_id, qvec).  Broadcast the queries — the corpus never
-    shuffles, each task scores its partition and a single top-k-per-query
-    aggregation follows (partial top-k map-side via window over small data).
+    ``queries``: (query_id, qvec), small by contract (collected and shipped
+    to every task).  Scale shape: each task scores only its own partition
+    rows and keeps a LOCAL top-k per query, so the shuffle carries
+    O(tasks * k * q) partial rows instead of the full n*q scored set; one
+    tiny window then ranks the partials exactly.
+
+    Bit-exactness: dot products and norms are sequential left-fold float64
+    sums (np.cumsum), identical to ``F.aggregate`` folds and DuckDB's
+    ``list_sum`` — so ranks match the SQL oracle exactly, ties broken by
+    ascending neighbor_id.
     """
-    joined = embeddings.crossJoin(broadcast(queries)).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _cosine_expr(F.col("qvec"), F.col("embedding")).alias("cos_sim"),
+    import pyarrow as pa
+
+    qrows = queries.select("query_id", "qvec").collect()
+    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)  # (q, d)
+    if qmat.size == 0:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos_sim double"
+        )
+    nq, dim = qmat.shape
+    qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+    # chunk rows so the (rows, q, d) product tensor stays ~64 MB
+    chunk_rows = max(64, (1 << 23) // max(1, nq * dim))
+
+    def partial_topk(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids_all = rb.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = rb.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            if flat.size != rb.num_rows * dim:
+                raise ValueError("embedding dim mismatch vs queries")
+            mat_all = flat.reshape(rb.num_rows, dim)
+            out_q, out_n, out_c = [], [], []
+            for s in range(0, rb.num_rows, chunk_rows):
+                ids = ids_all[s : s + chunk_rows]
+                mat = mat_all[s : s + chunk_rows]
+                # sequential left-fold sums: bit-identical to SQL aggregate
+                dots = np.cumsum(mat[:, None, :] * qmat[None, :, :], axis=2)[:, :, -1]
+                enorm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+                cos = dots / (enorm[:, None] * qnorm[None, :])
+                cos[ids[:, None] == q_ids[None, :]] = -np.inf  # exclude self
+                for qi in range(nq):
+                    c = cos[:, qi]
+                    order = np.lexsort((ids, -c))[:k]
+                    keep = order[np.isfinite(c[order])]
+                    out_q.append(np.full(len(keep), q_ids[qi], dtype=np.int64))
+                    out_n.append(ids[keep].astype(np.int64))
+                    out_c.append(c[keep])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_n)),
+                        pa.array(np.concatenate(out_c)),
+                    ],
+                    names=["query_id", "neighbor_id", "cos_sim"],
+                )
+
+    partials = embeddings.select("vec_id", "embedding").mapInArrow(
+        partial_topk, schema="query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        joined.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")

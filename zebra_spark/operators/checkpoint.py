@@ -54,30 +54,58 @@ def checkpointed_encode(
     rows_per_block: int = 1 << 16,
     fail_after_units: int | None = None,
 ) -> list[int]:
-    """Encode ``df`` unit by unit, committing each unit atomically.
+    """Encode all missing units in ONE pass over the input.
 
-    Returns the list of units encoded in THIS run.  ``fail_after_units``
-    injects a crash after N commits (tests).  Resume = call again with the
-    same arguments; committed units are skipped via anti-join semantics.
+    Plan shape (scale-safe): filter-to-missing-units (the anti-join against
+    the committed manifest) -> one shuffle keyed by ``__unit`` -> grouped
+    encode (no block spans units) -> ``write.partitionBy("unit")`` with
+    dynamic partition overwrite -> per-unit commit markers.  One scan of the
+    input regardless of how many units remain — the previous per-unit loop
+    rescanned the input n_units times, which cannot work at 100 TB.
+
+    Parallelism note: rows of a unit land in one task, so pick
+    ``n_units >> executor count`` in production (units are resume
+    granularity, not a parallelism cap).
+
+    Returns the list of units committed by THIS run.  ``fail_after_units``
+    injects a crash after N unit commits (tests).  Resume = call again with
+    the same arguments; committed units are skipped.
     """
-    tagged = unit_of(df, unit_cols, n_units).cache()
     done = set(committed_units(out_dir))
     todo = [u for u in range(n_units) if u not in done]
-    encoded_now: list[int] = []
-    for i, u in enumerate(todo):
-        if fail_after_units is not None and i >= fail_after_units:
-            raise RuntimeError(f"injected failure before unit {u}")
-        part = tagged.filter(F.col("__unit") == u).drop("__unit")
-        blocks = encode_df(part, rows_per_block=rows_per_block)
-        blocks.write.mode("overwrite").parquet(os.path.join(out_dir, f"unit={u}"))
-        encoded_now.append(u)
-    tagged.unpersist()
-    return encoded_now
+    write_units = todo if fail_after_units is None else todo[:fail_after_units]
+    if write_units:
+        tagged = unit_of(df, unit_cols, n_units)
+        part = tagged.filter(F.col("__unit").isin(write_units))
+        part = part.repartition(F.col("__unit"))
+        blocks = encode_df(
+            part, rows_per_block=rows_per_block, group_col="__unit"
+        )
+        (
+            blocks.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("unit")
+            .parquet(out_dir)
+        )
+        # the job succeeded atomically for everything it wrote; mark each
+        # unit committed (on Iceberg this is the snapshot commit instead)
+        for u in write_units:
+            unit_dir = os.path.join(out_dir, f"unit={u}")
+            os.makedirs(unit_dir, exist_ok=True)  # empty unit: marker only
+            open(os.path.join(unit_dir, "_SUCCESS"), "w").close()
+    if fail_after_units is not None and len(write_units) < len(todo):
+        raise RuntimeError(
+            f"injected failure after {len(write_units)} of {len(todo)} units"
+        )
+    return write_units
 
 
 def read_checkpointed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     paths = [
-        os.path.join(out_dir, f"unit={u}") for u in committed_units(out_dir)
+        p
+        for u in committed_units(out_dir)
+        for p in [os.path.join(out_dir, f"unit={u}")]
+        if any(f.endswith(".parquet") for f in os.listdir(p))
     ]
     if not paths:
         raise ValueError(f"no committed units under {out_dir}")

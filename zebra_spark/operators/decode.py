@@ -19,7 +19,7 @@ from ..codec.blocks import decode_batch
 from ..codec.warmup import warm_codec
 
 
-def _decode_fn(verify_crc: bool, columns=None):
+def _decode_fn(verify_crc: bool, columns=None, validate_maps: bool = False):
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         warm_codec()
         for rb in batches:
@@ -36,7 +36,9 @@ def _decode_fn(verify_crc: bool, columns=None):
                             f"crc mismatch in block {ids[i].as_py()}"
                         )
                 schema = pa.ipc.read_schema(pa.py_buffer(schemas[i].as_py()))
-                yield decode_batch(payload, schema, columns=columns)
+                yield decode_batch(
+                    payload, schema, columns=columns, validate_maps=validate_maps
+                )
 
     return decode
 
@@ -54,6 +56,7 @@ def decode_df(
     schema=None,
     verify_crc: bool = True,
     columns: list[str] | None = None,
+    validate_maps: bool = False,
 ) -> DataFrame:
     """Decode a blocks DataFrame back to the original rows.
 
@@ -64,6 +67,10 @@ def decode_df(
     decoder — unrequested sections are skipped without decompression
     (block-level column pruning; at 100 TB a 2-column read must not
     bit-unpack the token payloads).
+
+    ``validate_maps``: enforce zebra's sorted/dup-free Map invariant on
+    decode (Striped.hs:572-591); opt-in because Spark map columns carry no
+    ordering invariant.
     """
     if schema is None:
         schema = arrow_schema_of(blocks)
@@ -78,4 +85,6 @@ def decode_df(
                 f"blocks contain {sorted(known)}"
             )
         schema = type(schema)([f for f in schema.fields if f.name in set(columns)])
-    return blocks.mapInArrow(_decode_fn(verify_crc, columns), schema=schema)
+    return blocks.mapInArrow(
+        _decode_fn(verify_crc, columns, validate_maps), schema=schema
+    )

@@ -25,11 +25,12 @@ import uuid
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..codec.blocks import encode_batch
+from ..codec.blocks import annotate_zebra_encodings, encode_batch
 from ..codec.warmup import warm_codec
 
 BLOCKS_DDL = (
@@ -88,7 +89,7 @@ def encode_chunk_rows(
         return
     task_id = task_tag or uuid.uuid4().hex[:12]
     state = _state if _state is not None else {"seq": 0}
-    schema_bytes = rb.schema.serialize().to_pybytes()
+    schema_bytes = annotate_zebra_encodings(rb.schema).serialize().to_pybytes()
     cells_per_row = max(1, _batch_cells(rb) // max(1, rb.num_rows))
     step = max(64, min(rows_per_block, max_block_values // cells_per_row))
     for off in range(0, rb.num_rows, step):
@@ -140,12 +141,52 @@ def _encode_fn(rows_per_block: int, key_col: str | None = None):
     return encode
 
 
+def _encode_grouped_fn(rows_per_block: int, key_col: str | None, group_col: str):
+    """Encode fn that guarantees NO BLOCK SPANS TWO GROUP VALUES: each Arrow
+    batch is stable-sorted by ``group_col``, split at group boundaries, and
+    each run encoded separately with the group value carried on its block
+    rows (column ``unit``).  Used by the single-pass checkpointed encode so
+    ``write.partitionBy("unit")`` commits whole units atomically."""
+
+    def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        warm_codec()
+        task_id = uuid.uuid4().hex[:12]
+        state = {"seq": 0}
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            units = rb.column(group_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(units, kind="stable")
+            rb2 = rb.take(pa.array(order))
+            us = units[order]
+            bounds = np.flatnonzero(np.diff(us)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(us)]))
+            keep = [n for n in rb2.schema.names if n != group_col]
+            for s, e in zip(starts, ends):
+                sub = rb2.slice(int(s), int(e - s)).select(keep)
+                unit_val = int(us[s])
+                for out_rb in encode_chunk_rows(
+                    sub,
+                    task_tag=task_id,
+                    rows_per_block=rows_per_block,
+                    key_col=key_col,
+                    _state=state,
+                ):
+                    yield out_rb.append_column(
+                        "unit", pa.array([unit_val] * out_rb.num_rows, pa.int32())
+                    )
+
+    return encode
+
+
 def encode_df(
     df: DataFrame,
     rows_per_block: int = 1 << 16,
     salt_col: str | None = None,
     salt_buckets: int = 0,
     key_col: str | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Encode ``df`` into a blocks DataFrame.
 
@@ -157,6 +198,11 @@ def encode_df(
     if salt_col is not None and salt_buckets > 0:
         salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
         df = df.repartition(F.col(salt_col), salt)
+    if group_col is not None:
+        return df.mapInArrow(
+            _encode_grouped_fn(rows_per_block, key_col, group_col),
+            schema=BLOCKS_DDL + ", unit int",
+        )
     return df.mapInArrow(_encode_fn(rows_per_block, key_col), schema=BLOCKS_DDL)
 
 

@@ -52,12 +52,58 @@ def _default_for(dtype: T.DataType):
     return F.lit(None).cast(dtype)
 
 
-def transmute(df: DataFrame, target: T.StructType, allow_default: bool = True) -> DataFrame:
+DEFAULT_META = "zebra.default"  # StructField.metadata: "allow" | "deny"
+REVERSED_META = "zebra.reversed"  # StructField.metadata: True for Reversed
+
+
+def field_allows_default(f: T.StructField) -> bool:
+    """Per-node Default (Data.hs:120-123): a field may be filled with its
+    implied default during widening only when AllowDefault.  Carried as
+    StructField metadata; absent metadata means AllowDefault (zebra's
+    common case for non-key columns)."""
+    return (f.metadata or {}).get(DEFAULT_META, "allow") != "deny"
+
+
+def deny_default(f: T.StructField) -> T.StructField:
+    md = dict(f.metadata or {})
+    md[DEFAULT_META] = "deny"
+    return T.StructField(f.name, f.dataType, f.nullable, md)
+
+
+def reversed_field(f: T.StructField) -> T.StructField:
+    """Mark a column as Reversed (Schema.hs:95): same data, descending
+    order semantics (Logical.hs:552-556 flips compare)."""
+    md = dict(f.metadata or {})
+    md[REVERSED_META] = True
+    return T.StructField(f.name, f.dataType, f.nullable, md)
+
+
+def is_reversed(f: T.StructField) -> bool:
+    return bool((f.metadata or {}).get(REVERSED_META, False))
+
+
+def sort_exprs(schema: T.StructType, cols: list[str]) -> list:
+    """Ordering expressions honoring Reversed metadata — a Reversed key
+    sorts descending, so 'latest wins' factset-style keys merge correctly."""
+    by_name = {f.name: f for f in schema.fields}
+    return [
+        F.desc(c) if c in by_name and is_reversed(by_name[c]) else F.asc(c)
+        for c in cols
+    ]
+
+
+def transmute(
+    df: DataFrame,
+    target: T.StructType,
+    allow_default: bool | dict[str, bool] = True,
+) -> DataFrame:
     """Adapt ``df`` to ``target`` schema (Striped.hs:782-882 semantics).
 
-    Missing columns are filled with typed defaults when ``allow_default``
-    (zebra AllowDefault), otherwise raise.  Extra columns are an error —
-    zebra transmute never drops data silently.
+    Missing columns fill with typed defaults only where allowed; the
+    per-node Default is resolved (most specific first) from: an explicit
+    per-column dict, the target field's ``zebra.default`` metadata, or the
+    boolean for the whole table.  Extra columns are an error — zebra
+    transmute never drops data silently.
     """
     have = {f.name: f for f in df.schema.fields}
     want = {f.name for f in target.fields}
@@ -68,7 +114,12 @@ def transmute(df: DataFrame, target: T.StructType, allow_default: bool = True) -
     for f in target.fields:
         if f.name in have:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        elif allow_default:
+            continue
+        if isinstance(allow_default, dict):
+            ok = allow_default.get(f.name, field_allows_default(f))
+        else:
+            ok = allow_default and field_allows_default(f)
+        if ok:
             cols.append(_default_for(f.dataType).alias(f.name))
         else:
             raise ValueError(
@@ -80,8 +131,11 @@ def transmute(df: DataFrame, target: T.StructType, allow_default: bool = True) -
 
 def schema_union(a: T.StructType, b: T.StructType) -> T.StructType:
     """Least upper bound of two schemas (Schema.hs:401-533): equal-named
-    fields must match exactly; the union has all fields of both."""
+    fields must match exactly (including Reversed-ness); a field present in
+    only one side joins the union only if it is AllowDefault
+    (Schema.hs:476-533 — the other side must be fillable)."""
     fields = {f.name: f for f in a.fields}
+    b_names = {f.name for f in b.fields}
     out = list(a.fields)
     for f in b.fields:
         if f.name in fields:
@@ -90,8 +144,23 @@ def schema_union(a: T.StructType, b: T.StructType) -> T.StructType:
                     f"schema union: column {f.name} has incompatible types "
                     f"{fields[f.name].dataType} vs {f.dataType}"
                 )
+            if is_reversed(fields[f.name]) != is_reversed(f):
+                raise ValueError(
+                    f"schema union: column {f.name} disagrees on Reversed"
+                )
         else:
+            if not field_allows_default(f):
+                raise ValueError(
+                    f"schema union: column {f.name} is DenyDefault but "
+                    "missing from one input"
+                )
             out.append(f)
+    for f in a.fields:
+        if f.name not in b_names and not field_allows_default(f):
+            raise ValueError(
+                f"schema union: column {f.name} is DenyDefault but "
+                "missing from one input"
+            )
     return T.StructType(out)
 
 

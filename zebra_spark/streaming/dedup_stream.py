@@ -25,10 +25,29 @@ DEDUP_OUT_DDL = "digest string, doc_id string, n_seen_in_batch int"
 STATE_DDL = "seen boolean"
 
 
+_EMPTY_OUT = {
+    "digest": pd.Series([], dtype=str),
+    "doc_id": pd.Series([], dtype=str),
+    "n_seen_in_batch": pd.Series([], dtype="int32"),
+}
+
+
 def _dedup_fn(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    if state.hasTimedOut:
+        # retention expired: forget the digest (bounds state size; a
+        # re-arrival re-emits and downstream exact dedup compacts it) and
+        # do NOT re-arm the timeout — that would leak state forever
+        state.remove()
+        yield pd.DataFrame(_EMPTY_OUT)
+        return
+    frames = [p for p in pdfs]
+    rows = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame({"digest": [], "doc_id": []})
+    )
     n = len(rows)
     if state.exists:
         seen = True
@@ -37,9 +56,7 @@ def _dedup_fn(
         state.update((True,))
     state.setTimeoutDuration(24 * 3600 * 1000)  # retain a day of digests
     if seen or n == 0:
-        yield pd.DataFrame(
-            {"digest": [], "doc_id": [], "n_seen_in_batch": []}
-        ).astype({"digest": str, "doc_id": str, "n_seen_in_batch": "int32"})
+        yield pd.DataFrame(_EMPTY_OUT)
     else:
         first = rows.sort_values("doc_id").iloc[0]
         yield pd.DataFrame(
