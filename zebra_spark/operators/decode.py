@@ -12,18 +12,47 @@ from typing import Iterator
 
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.types import from_arrow_schema
 
 from ..codec.blocks import decode_batch
 from ..codec.warmup import warm_codec
 
 
-def _decode_fn(verify_crc: bool, columns=None, validate_maps: bool = False):
+def schema_map_of(blocks: DataFrame) -> dict[str, bytes]:
+    """Resolve schema_id -> arrow schema bytes for a blocks DataFrame.
+
+    The encoder ships the schema bytes once per (task, schema) and tags
+    every block row with schema_id, so this is one tiny metadata scan
+    (two slim columns, parquet-pruned) instead of GBs of per-row schema
+    duplication at 100 TB.
+    """
+    rows = (
+        blocks.filter(F.col("schema").isNotNull())
+        .select("schema_id", "schema")
+        .distinct()
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "blocks DataFrame carries no schema bytes (was it filtered to "
+            "exclude all schema-bearing rows?)"
+        )
+    return {r["schema_id"]: bytes(r["schema"]) for r in rows}
+
+
+def _decode_fn(
+    verify_crc: bool,
+    columns=None,
+    validate_maps: bool = False,
+    schema_map: dict[str, bytes] | None = None,
+):
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         warm_codec()
+        parsed: dict[str, pa.Schema] = {}
         for rb in batches:
             payloads = rb.column("payload")
+            sids = rb.column("schema_id")
             schemas = rb.column("schema")
             crcs = rb.column("crc32")
             ids = rb.column("block_id")
@@ -35,7 +64,21 @@ def _decode_fn(verify_crc: bool, columns=None, validate_maps: bool = False):
                         raise ValueError(
                             f"crc mismatch in block {ids[i].as_py()}"
                         )
-                schema = pa.ipc.read_schema(pa.py_buffer(schemas[i].as_py()))
+                sid = sids[i].as_py()
+                schema = parsed.get(sid)
+                if schema is None:
+                    raw = schemas[i].as_py()
+                    if raw is None and schema_map is not None:
+                        raw = schema_map.get(sid)
+                    if raw is None:
+                        raise ValueError(
+                            f"block {ids[i].as_py()} references schema {sid} "
+                            "whose bytes precede it in another split (blocks "
+                            "were filtered/shuffled/split since encode); "
+                            "decode with resolve_schemas=True"
+                        )
+                    schema = pa.ipc.read_schema(pa.py_buffer(raw))
+                    parsed[sid] = schema
                 yield decode_batch(
                     payload, schema, columns=columns, validate_maps=validate_maps
                 )
@@ -45,7 +88,7 @@ def _decode_fn(verify_crc: bool, columns=None, validate_maps: bool = False):
 
 def arrow_schema_of(blocks: DataFrame) -> pa.Schema:
     """Fetch the (single) arrow schema stored in a blocks DataFrame."""
-    row = blocks.select("schema").head()
+    row = blocks.filter(F.col("schema").isNotNull()).select("schema").head()
     if row is None:
         raise ValueError("blocks DataFrame is empty; pass an explicit schema")
     return pa.ipc.read_schema(pa.py_buffer(row[0]))
@@ -57,11 +100,20 @@ def decode_df(
     verify_crc: bool = True,
     columns: list[str] | None = None,
     validate_maps: bool = False,
+    resolve_schemas: bool = False,
 ) -> DataFrame:
     """Decode a blocks DataFrame back to the original rows.
 
     ``schema``: pyspark StructType or pyarrow Schema; fetched from the
     first block when omitted (one tiny driver-side lookup).
+
+    ``resolve_schemas``: schema BYTES ship once per (encode task, schema)
+    and every block row carries ``schema_id``.  In a narrow encode->decode
+    chain each decode task sees the schema-bearing row before its blocks,
+    so nothing extra is needed (the default).  For blocks read back from
+    storage and then filtered/shuffled/split, pass True: one cheap
+    two-column metadata scan builds the id->bytes map up front (do NOT use
+    on a lazily chained encode, where the scan would re-run the encode).
 
     ``columns``: project to these top-level columns INSIDE the block
     decoder — unrequested sections are skipped without decompression
@@ -85,6 +137,7 @@ def decode_df(
                 f"blocks contain {sorted(known)}"
             )
         schema = type(schema)([f for f in schema.fields if f.name in set(columns)])
+    smap = schema_map_of(blocks) if resolve_schemas else None
     return blocks.mapInArrow(
-        _decode_fn(verify_crc, columns, validate_maps), schema=schema
+        _decode_fn(verify_crc, columns, validate_maps, smap), schema=schema
     )

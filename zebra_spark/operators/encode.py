@@ -20,6 +20,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import uuid
 import zlib
@@ -36,8 +37,8 @@ from ..codec.warmup import warm_codec
 BLOCKS_DDL = (
     "block_id string, part_start string, key_min string, key_max string, "
     "n_rows long, payload binary, "
-    "schema binary, meta string, raw_bytes long, enc_bytes long, "
-    "zebra_bytes long, crc32 long"
+    "schema_id string, schema binary, meta string, raw_bytes long, "
+    "enc_bytes long, zebra_bytes long, crc32 long"
 )
 
 _OUT_SCHEMA = pa.schema(
@@ -48,6 +49,7 @@ _OUT_SCHEMA = pa.schema(
         ("key_max", pa.string()),
         ("n_rows", pa.int64()),
         ("payload", pa.binary()),
+        ("schema_id", pa.string()),
         ("schema", pa.binary()),
         ("meta", pa.string()),
         ("raw_bytes", pa.int64()),
@@ -90,6 +92,12 @@ def encode_chunk_rows(
     task_id = task_tag or uuid.uuid4().hex[:12]
     state = _state if _state is not None else {"seq": 0}
     schema_bytes = annotate_zebra_encodings(rb.schema).serialize().to_pybytes()
+    schema_id = hashlib.sha1(schema_bytes).hexdigest()[:16]
+    # every block row carries schema_id; the BYTES ship once per (task,
+    # schema) — at 100 TB repeating the full arrow schema per block row is
+    # GBs of duplication (decode resolves schema_id via one tiny metadata
+    # scan, see decode.schema_map_of)
+    emitted = state.setdefault("schemas", set())
     cells_per_row = max(1, _batch_cells(rb) // max(1, rb.num_rows))
     step = max(64, min(rows_per_block, max_block_values // cells_per_row))
     for off in range(0, rb.num_rows, step):
@@ -105,6 +113,8 @@ def encode_chunk_rows(
             key_max = str(mm["max"].as_py())
         seq = state["seq"]
         state["seq"] += 1
+        ship_schema = schema_id not in emitted
+        emitted.add(schema_id)
         yield pa.RecordBatch.from_pydict(
             {
                 "block_id": [f"{task_id}-{seq:08d}"],
@@ -113,7 +123,8 @@ def encode_chunk_rows(
                 "key_max": [key_max],
                 "n_rows": [chunk.num_rows],
                 "payload": [payload],
-                "schema": [schema_bytes],
+                "schema_id": [schema_id],
+                "schema": [schema_bytes if ship_schema else None],
                 "meta": [json.dumps(meta)],
                 "raw_bytes": [meta["raw_bytes"]],
                 "enc_bytes": [meta["enc_bytes"]],
@@ -151,7 +162,10 @@ def _encode_grouped_fn(rows_per_block: int, key_col: str | None, group_col: str)
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         warm_codec()
         task_id = uuid.uuid4().hex[:12]
-        state = {"seq": 0}
+        # one state per unit: the downstream partitionBy(unit) write splits
+        # this task's blocks into per-unit files, so each unit must be
+        # self-contained (own schema-bytes row, own block_id sequence)
+        states: dict[int, dict] = {}
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -168,10 +182,10 @@ def _encode_grouped_fn(rows_per_block: int, key_col: str | None, group_col: str)
                 unit_val = int(us[s])
                 for out_rb in encode_chunk_rows(
                     sub,
-                    task_tag=task_id,
+                    task_tag=f"{task_id}u{unit_val}",
                     rows_per_block=rows_per_block,
                     key_col=key_col,
-                    _state=state,
+                    _state=states.setdefault(unit_val, {"seq": 0}),
                 ):
                     yield out_rb.append_column(
                         "unit", pa.array([unit_val] * out_rb.num_rows, pa.int32())

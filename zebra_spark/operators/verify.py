@@ -38,6 +38,7 @@ def verify_blocks(blocks: DataFrame, check_reencode: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         warm_codec()
+        parsed: dict[str, pa.Schema] = {}
         for rb in batches:
             out = {k: [] for k in (
                 "block_id", "n_rows", "crc_ok", "decode_ok",
@@ -52,11 +53,21 @@ def verify_blocks(blocks: DataFrame, check_reencode: bool = True) -> DataFrame:
                 decode_ok = False
                 reenc = None
                 err = None
+                # record schema bytes regardless of this block's health —
+                # later blocks of the task reference them by schema_id
+                sid = rb.column("schema_id")[i].as_py()
+                if sid not in parsed:
+                    raw = rb.column("schema")[i].as_py()
+                    if raw is not None:
+                        try:
+                            parsed[sid] = pa.ipc.read_schema(pa.py_buffer(raw))
+                        except Exception:
+                            pass
                 if crc_ok:
                     try:
-                        schema = pa.ipc.read_schema(
-                            pa.py_buffer(rb.column("schema")[i].as_py())
-                        )
+                        schema = parsed.get(sid)
+                        if schema is None:
+                            raise ValueError(f"schema bytes for {sid} unavailable")
                         decoded = decode_batch(payload, schema)
                         decode_ok = decoded.num_rows == n_rows
                         if check_reencode:

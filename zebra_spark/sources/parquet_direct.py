@@ -63,10 +63,13 @@ def encode_parquet_direct(
             for p, rg in zip(paths, rgs):
                 pf = pq.ParquetFile(p)
                 table = pf.read_row_group(rg, columns=columns)
+                # one state per row group: block_id seq stays unique across
+                # chunks and the schema bytes ship once per row group
+                state = {"seq": 0}
                 for chunk in table.to_batches(max_chunksize=rows_per_block):
                     yield from encode_chunk_rows(
                         chunk, task_tag=f"{os.path.basename(p)}:{rg}",
-                        max_block_values=max_block_values,
+                        max_block_values=max_block_values, _state=state,
                     )
 
     return sdf.mapInArrow(gen, schema=BLOCKS_DDL)
