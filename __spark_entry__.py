@@ -111,12 +111,11 @@ def _q_lsh_ann(spark, sf_dir):
     from zebra_spark.functions.similarity import lsh_ann_topk
 
     emb = _load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
     queries = (
         emb.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     )
-    return lsh_ann_topk(emb, queries, dim=dim, k=5).select(
+    return lsh_ann_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", "rank"
     )
 

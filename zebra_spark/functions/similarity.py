@@ -117,16 +117,28 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signatures(
-    embeddings: DataFrame, dim: int, bits: int = 16, seed: int = 42
-) -> DataFrame:
-    """Random-hyperplane LSH signature per vector (vectorized numpy)."""
+def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplanes from (seed, dim, bits) — derivable inside
+    every task, so no driver-side data peek is needed to learn the dim."""
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(dim, bits)).astype(np.float32)
+    return rng.normal(size=(dim, bits)).astype(np.float32)
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, dim: int | None = None, bits: int = 16, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector (vectorized numpy).
+
+    ``dim`` is optional: each task derives the (identical) plane matrix from
+    the seed and the batch's own vector width.
+    """
 
     @pandas_udf("int")
     def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
         mat = np.stack(vecs.to_numpy())  # (batch, dim) float32
+        planes = _lsh_planes(dim if dim is not None else mat.shape[1], bits, seed)
         proj = mat @ planes  # (batch, bits)
         bitsm = (proj > 0).astype(np.uint32)
         codes = (bitsm << np.arange(bits, dtype=np.uint32)).sum(axis=1)
@@ -138,7 +150,7 @@ def hyperplane_signatures(
 def lsh_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
     bits: int = 8,
 ) -> DataFrame:

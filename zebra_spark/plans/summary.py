@@ -38,14 +38,45 @@ def consistency_check(
     """Rows that violate inter-block ordering (empty result == consistent).
 
     Expects blocks carrying per-block key ranges (encode_df(key_col=...)).
+
+    Scale shape: block metadata is one row per block (~1.6M rows at 100 TB
+    with 64 MB blocks), so a single global window would funnel everything
+    into ONE task.  Instead: range-partition by (key_min, block_id), check
+    adjacency with a PER-PARTITION window (each range bucket is its own
+    window group — no single-task sort), then a boundary exchange compares
+    each bucket's first block against the previous bucket's last block over
+    the tiny one-row-per-partition frame.
     """
-    w = Window.orderBy(key_min_col, "block_id")
-    lagged = blocks.withColumn("__prev_max", F.lag(key_max_col).over(w))
-    return lagged.filter(
-        F.col("__prev_max").isNotNull()
-        & (F.col(key_min_col) <= F.col("__prev_max"))
-    ).select(
-        "block_id",
-        F.col(key_min_col).alias("block_min"),
-        F.col("__prev_max").alias("previous_block_max"),
+    kmin, kmax = F.col(key_min_col), F.col(key_max_col)
+    ranged = blocks.repartitionByRange(kmin, F.col("block_id")).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    w_in = Window.partitionBy("__pid").orderBy(key_min_col, "block_id")
+    inner = (
+        ranged.withColumn("__prev_max", F.lag(key_max_col).over(w_in))
+        .filter(F.col("__prev_max").isNotNull() & (kmin <= F.col("__prev_max")))
+        .select(
+            "block_id",
+            kmin.alias("block_min"),
+            F.col("__prev_max").alias("previous_block_max"),
+        )
+    )
+    # boundary exchange: one row per non-empty range bucket
+    bounds = ranged.groupBy("__pid").agg(
+        F.min(F.struct(kmin.alias("m"), F.col("block_id").alias("b"))).alias("first"),
+        F.max_by(kmax, F.struct(kmin, F.col("block_id"))).alias("last_max"),
+    )
+    w_b = Window.orderBy("__pid")  # tiny: n_partitions rows
+    boundary = (
+        bounds.withColumn("__prev_last", F.lag("last_max").over(w_b))
+        .filter(
+            F.col("__prev_last").isNotNull()
+            & (F.col("first.m") <= F.col("__prev_last"))
+        )
+        .select(
+            F.col("first.b").alias("block_id"),
+            F.col("first.m").alias("block_min"),
+            F.col("__prev_last").alias("previous_block_max"),
+        )
+    )
+    return inner.unionByName(boundary)
