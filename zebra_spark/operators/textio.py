@@ -22,10 +22,15 @@ from pyspark.sql import types as T
 
 
 def export_json(df: DataFrame, path: str) -> None:
-    """Write rows as line-JSON + the schema as <path>/_schema.json."""
+    """Write rows as line-JSON + the schema as <path>/_schema.json and as a
+    zebra-format <path>/_schema.zschema (Serial/Text/Schema.hs envelope)."""
+    from .zschema import to_zschema
+
     df.write.mode("overwrite").json(path)
     with open(os.path.join(path, "_schema.json"), "w") as f:
         f.write(df.schema.json())
+    with open(os.path.join(path, "_schema.zschema"), "w") as f:
+        f.write(to_zschema(df.schema))
 
 
 def import_json(
@@ -39,13 +44,21 @@ def import_json(
     """
     if schema is None:
         schema_file = os.path.join(path, "_schema.json")
-        if not os.path.exists(schema_file):
+        zschema_file = os.path.join(path, "_schema.zschema")
+        if os.path.exists(schema_file):
+            with open(schema_file) as f:
+                schema = T.StructType.fromJson(json.load(f))
+        elif os.path.exists(zschema_file):
+            from .zschema import from_zschema
+
+            with open(zschema_file) as f:
+                schema = from_zschema(f.read())
+        else:
             raise ValueError(
-                f"no schema given and {schema_file} not found; zebra-style "
-                "text import requires an explicit schema (.zschema analogue)"
+                f"no schema given and neither {schema_file} nor "
+                f"{zschema_file} found; zebra-style text import requires an "
+                "explicit schema"
             )
-        with open(schema_file) as f:
-            schema = T.StructType.fromJson(json.load(f))
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     return spark.read.schema(schema).json(path)
