@@ -372,6 +372,78 @@ def _q_enum_roundtrip(spark, sf_dir):
     )
 
 
+def _q_checkpoint_resume(spark, sf_dir):
+    """North-rule checkpoint/resume, driver-verified: a run that CRASHES
+    after 2 of 6 unit commits, then resumes, must decode bit-identical to
+    the source (resume = anti-join on the committed unit manifest; one
+    input scan per run)."""
+    import shutil
+    import tempfile
+
+    from zebra_spark.operators.checkpoint import (
+        checkpointed_encode,
+        read_checkpointed_blocks,
+    )
+    from zebra_spark.operators.decode import decode_df
+
+    orders = _load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="zs_ckpt_")
+    try:
+        try:
+            checkpointed_encode(
+                spark, orders, out, ["o_orderkey"], n_units=6,
+                rows_per_block=4096, fail_after_units=2,
+            )
+        except RuntimeError:
+            pass  # injected crash after 2 committed units
+        checkpointed_encode(
+            spark, orders, out, ["o_orderkey"], n_units=6, rows_per_block=4096
+        )
+        # materialize before the temp dir is removed (the driver collects
+        # lazily after this function returns)
+        return decode_df(
+            read_checkpointed_blocks(spark, out), schema=orders.schema
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _q_salted_encode_roundtrip(spark, sf_dir):
+    """North-rule skew handling: deterministic-salt repartition on the
+    skewed source key before encoding; round-trip stays bit-identical."""
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+
+    docs = _load(spark, sf_dir, "documents")
+    blocks = encode_df(docs, rows_per_block=4096, salt_col="source", salt_buckets=8)
+    return decode_df(blocks, schema=docs.schema)
+
+
+def _q_projection_pushdown(spark, sf_dir):
+    """Block-level column pruning: a 2-column read skips the other block
+    sections without decompression (File.hs streaming-read analogue)."""
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+
+    docs = _load(spark, sf_dir, "documents")
+    blocks = encode_df(docs, rows_per_block=1 << 16)
+    return decode_df(blocks, schema=docs.schema, columns=["doc_id", "lang"])
+
+
+def _q_codec_metrics(spark, sf_dir):
+    """Per-column lineage / codec-choice metrics (north rule): one row per
+    (block, column) with the selector's decision and stats."""
+    from zebra_spark.operators.encode import codec_metrics, encode_df
+
+    blocks = encode_df(_load(spark, sf_dir, "events"), rows_per_block=1 << 14)
+    m = codec_metrics(blocks)
+    return m.groupBy("column", "stats.codec").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("stats.bytes").alias("bytes"),
+        F.sum("stats.zebra_bytes").alias("zebra_bytes"),
+    )
+
+
 def _q_encode_summary(spark, sf_dir):
     from zebra_spark.operators.encode import encode_df
 
@@ -431,6 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rechunk_blocks": _q_rechunk_blocks,
             "blocks_summary": _q_blocks_summary,
             "consistency_check": _q_consistency_check,
+            "checkpoint_resume": _q_checkpoint_resume,
+            "salted_encode_roundtrip": _q_salted_encode_roundtrip,
+            "projection_pushdown": _q_projection_pushdown,
+            "codec_metrics": _q_codec_metrics,
         }
     )
     return qs
@@ -536,6 +612,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_nationkey, '' AS n_name, n_regionkey FROM nation"
         ),
         "rechunk_blocks": "SELECT * FROM lineitem",
+        "checkpoint_resume": "SELECT * FROM orders",
+        "salted_encode_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "projection_pushdown": "SELECT doc_id, lang FROM documents",
         "blocks_summary": (
             "SELECT COUNT(*) AS total_rows, TRUE AS capped, "
             "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM orders"
