@@ -120,6 +120,24 @@ def _q_lsh_ann(spark, sf_dir):
     )
 
 
+def _q_cosine_pairs_exact(spark, sf_dir):
+    """Embedding near-dup dedup, exact baseline on a bounded subset (the
+    LSH variant is the scale path; this one is oracle-checkable)."""
+    from zebra_spark.functions.similarity import cosine_pairs_exact
+
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return cosine_pairs_exact(emb, threshold=0.3).select("id_a", "id_b")
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup dedup at scale: LSH-bucketed candidates + exact
+    cosine verify (approximate recall -> rows-only check)."""
+    from zebra_spark.functions.similarity import cosine_near_dup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.3, bits=4).select("id_a", "id_b")
+
+
 def _q_minhash(spark, sf_dir):
     from zebra_spark.functions.dedup import minhash_lsh_candidates
 
@@ -430,6 +448,46 @@ def _q_projection_pushdown(spark, sf_dir):
     return decode_df(blocks, schema=docs.schema, columns=["doc_id", "lang"])
 
 
+def _q_ztxt_roundtrip(spark, sf_dir):
+    """zebra import/export CLI parity: rows -> line-JSON + .zschema sidecar
+    -> re-import with the zebra-format schema (no inference) -> identical
+    rows (Import.hs:63-76 / Export.hs:114-143)."""
+    import os
+    import shutil
+    import tempfile
+
+    from zebra_spark.operators.textio import export_json, import_json
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="zs_ztxt_")
+    try:
+        export_json(docs, out)
+        os.remove(os.path.join(out, "_schema.json"))  # force the .zschema path
+        return import_json(spark, out).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _q_zebra_file_roundtrip(spark, sf_dir):
+    """zebra V3 binary file container: write real '||ZEBRA||00003||' files
+    (header = SchemaV1 JSON, u32-count block framing, 1600-03-01 epoch
+    re-basing) one per partition, read them back in parallel."""
+    import shutil
+    import tempfile
+
+    from zebra_spark.operators.zfile import read_zebra_files, write_zebra_files
+
+    orders = _load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="zs_zfile_")
+    try:
+        manifest = write_zebra_files(orders, out, rows_per_block=4096).collect()
+        return read_zebra_files(
+            spark, [r["path"] for r in manifest]
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_codec_metrics(spark, sf_dir):
     """Per-column lineage / codec-choice metrics (north rule): one row per
     (block, column) with the selector's decision and stats."""
@@ -487,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk": _q_ann_topk,
             "lsh_ann_topk": _q_lsh_ann,
             "minhash_lsh": _q_minhash,
+            "cosine_pairs_exact": _q_cosine_pairs_exact,
+            "embedding_near_dups": _q_embedding_near_dups,
             "simhash": _q_simhash,
             "ngram_jaccard": _q_ngram_jaccard,
             "orders_by_status": _q_orders_by_status,
@@ -507,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "salted_encode_roundtrip": _q_salted_encode_roundtrip,
             "projection_pushdown": _q_projection_pushdown,
             "codec_metrics": _q_codec_metrics,
+            "ztxt_roundtrip": _q_ztxt_roundtrip,
+            "zebra_file_roundtrip": _q_zebra_file_roundtrip,
         }
     )
     return qs
@@ -617,6 +679,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "projection_pushdown": "SELECT doc_id, lang FROM documents",
+        "ztxt_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "zebra_file_roundtrip": "SELECT * FROM orders",
         "blocks_summary": (
             "SELECT COUNT(*) AS total_rows, TRUE AS capped, "
             "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM orders"
@@ -632,6 +696,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT block_id, key_min AS block_min, prev_max AS previous_block_max "
             "FROM l WHERE prev_max IS NOT NULL AND key_min <= prev_max "
             "ORDER BY block_id"
+        ),
+        "cosine_pairs_exact": (
+            "WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+            "  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            " sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) "
+            ">= 0.3 ORDER BY id_a, id_b"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "

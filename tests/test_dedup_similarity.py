@@ -140,3 +140,19 @@ def test_minhash_sliced_equals_whole():
     whole = _fold_signatures(hashes, a, b, max_slice=1 << 20)
     sliced = _fold_signatures(hashes, a, b, max_slice=17)
     assert (whole == sliced).all()
+
+
+def test_cosine_near_dup_pairs_finds_planted(spark):
+    """LSH-bucketed embedding near-dup: planted near-identical vectors land
+    in the same bucket and survive the exact-cosine verify."""
+    from zebra_spark.functions.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(50, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    rows += [(100 + i, (base[i] * 1.0001).tolist()) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.9999, bits=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= got

@@ -148,8 +148,11 @@ def test_spark_schema_to_zschema_and_back():
     )
     js = struct_to_zschema(schema)
     back = zschema_to_struct(js)
-    # booleans become zebra's bool enum convention (tag-only struct)
-    assert back["flag"].metadata[ENUM_META] == [["false", True], ["true", True]]
+    # booleans pass through zebra's bool-enum convention and come back
+    # as booleans (canonical identification, Schema.hs:187-196)
+    el = js["array"]["element"]["struct"]["fields"]
+    assert el[4]["schema"]["enum"]["variants"][0]["name"] == "false"
+    assert isinstance(back["flag"].dataType, T.BooleanType)
     assert [f.name for f in back.fields] == [f.name for f in schema.fields]
     assert isinstance(back["tags"].dataType, T.ArrayType)
     assert isinstance(back["props"].dataType, T.MapType)

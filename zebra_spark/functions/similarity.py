@@ -117,6 +117,61 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    seed: int = 42,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale path).
+
+    Shape mirrors MinHash LSH dedup: hyperplane signatures bucket the
+    corpus, candidate pairs come from a within-bucket self-join (never the
+    n^2 cross product), and an exact sequential-fold cosine filters the
+    candidates.  Hot buckets above ``max_bucket`` are dropped (quadratic
+    guard), singletons pruned.  Approximate by construction: pairs whose
+    vectors land in different buckets are missed — raise ``bits``/probe
+    count for recall, or use :func:`brute_force_topk` as the exact
+    baseline.
+    """
+    corpus = hyperplane_signatures(embeddings, bits=bits, seed=seed).select(
+        "vec_id", "embedding", "bucket"
+    )
+    counts = corpus.groupBy("bucket").agg(F.count("*").alias("n"))
+    eligible = counts.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select(
+        "bucket"
+    )
+    pruned = corpus.join(eligible, "bucket")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        _cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).orderBy("id_a", "id_b")
+
+
+def cosine_pairs_exact(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Exact all-pairs cosine filter — the oracle-checkable baseline for
+    near-dup dedup; O(n^2), for bounded subsets / verification only."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        _cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).orderBy("id_a", "id_b")
+
+
 def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
     """Deterministic hyperplanes from (seed, dim, bits) — derivable inside
     every task, so no driver-side data peek is needed to learn the dim."""

@@ -101,6 +101,12 @@ def _col_to_dtype(node: dict, what: str) -> tuple[T.DataType, dict]:
         return T.DoubleType(), _default_meta(val)
     if name == "enum":
         md = _default_meta(val)
+        names = [v["name"] for v in val["variants"]]
+        if names == ["false", "true"] and all(
+            "unit" in v["schema"] for v in val["variants"]
+        ):
+            # bool IS this enum in zebra (Schema.hs:187-196); canonical map
+            return T.BooleanType(), md
         fields = [T.StructField("tag", T.LongType(), nullable=False)]
         layout = []
         for v in val["variants"]:
@@ -223,7 +229,7 @@ def _dtype_to_col(dtype: T.DataType, md: dict | None, what: str) -> dict:
         node = _md_default(md)
         node["encoding"] = {"date": {}}
         return {"int": node}
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         node = _md_default(md)
         node["encoding"] = {"time": {"interval": {"microseconds": {}}}}
         return {"int": node}
