@@ -31,3 +31,58 @@ def test_stream_encode_roundtrip(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert decode_df(spark.read.parquet(out_dir), schema=df.schema).count() == 800
+
+
+def test_windowed_ingest_stats_with_watermark(spark, tmp_path):
+    """Watermarked event-time windows: per-(window, source) stats emitted
+    exactly once in append mode; aggregates match a batch groupBy oracle."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.streaming.window_stats import windowed_ingest_stats
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(120):
+        rows.append(
+            (
+                f"d{i}",
+                t0 + dt.timedelta(seconds=i),  # two 1-minute windows
+                ["web", "code", "books"][i % 3],
+                10 + (i % 7),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id string, event_time timestamp, source string, n_chars int"
+    )
+    src_dir = str(tmp_path / "wsrc")
+    df.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    stats = windowed_ingest_stats(stream, "1 minute", "30 seconds")
+    out_dir = str(tmp_path / "wout")
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    # append mode: only windows CLOSED by the watermark are emitted; with
+    # a single micro-batch the last window is still open
+    oracle = (
+        df.groupBy(F.window("event_time", "1 minute"), "source")
+        .agg(F.count("*").alias("n_docs"), F.sum(F.col("n_chars").cast("long")).alias("total_chars"))
+        .select(F.col("window.start").alias("window_start"), "source", "n_docs", "total_chars")
+    )
+    joined = got.join(oracle, ["window_start", "source"], "inner")
+    assert got.count() > 0
+    mismatches = joined.filter(
+        (got["n_docs"] != oracle["n_docs"])
+        | (got["total_chars"] != oracle["total_chars"])
+    )
+    assert mismatches.count() == 0
