@@ -149,3 +149,56 @@ def test_empty_and_small(n):
     rng = np.random.default_rng(n)
     roundtrip_ints(rng.integers(-100, 100, size=n))
     roundtrip_strings([b"x" * (i % 5) for i in range(n)])
+
+
+def test_pfor_beats_zebra_on_zipf_outliers():
+    """Patched FoR: zipf token streams (rare large tokens in most 64-chunks)
+    must compress below the per-chunk-width zebra codec, decode exactly."""
+    import numpy as np
+
+    from zebra_spark.codec.codecs import (
+        IntCodec,
+        decode_ints,
+        encode_ints,
+        skip_ints,
+        zebra_int_size,
+    )
+
+    rng = np.random.default_rng(7)
+    # high-cardinality base (dict cannot pay off) + 1% huge outliers: every
+    # 64-chunk contains one, so zebra pays 50 bits for all 64 values
+    base = rng.integers(0, 1 << 20, size=50_000)
+    mask = rng.random(50_000) < 0.01
+    v = np.where(mask, rng.integers(0, 1 << 50, size=50_000), base).astype(np.int64)
+    codec, payload, meta = encode_ints(v)
+    assert codec == IntCodec.PFOR and meta["codec"] == "pfor"
+    assert len(payload) < 0.5 * zebra_int_size(v)
+    out, p = decode_ints(codec, payload, len(v), 0)
+    assert p == len(payload) and (out == v).all()
+    assert skip_ints(codec, payload, len(v), 0) == len(payload)
+    # zipf token stream: SOME sub-zebra codec wins (pfor or dict, exact min)
+    z = np.minimum(rng.zipf(1.35, size=50_000) - 1, 50_256).astype(np.int64)
+    zc, zp, zm = encode_ints(z)
+    assert len(zp) < 0.85 * zebra_int_size(z)
+    zout, _ = decode_ints(zc, zp, len(z), 0)
+    assert (zout == z).all()
+
+
+def test_pfor_roundtrip_property():
+    """Random mixtures incl. negative bases and huge outliers round-trip
+    bit-identically whatever the selector picks."""
+    import numpy as np
+
+    from zebra_spark.codec.codecs import decode_ints, encode_ints
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(256, 5000))
+        base = rng.integers(-(2**40), 2**40, size=n)
+        mask = rng.random(n) < 0.02
+        v = np.where(mask, rng.integers(-(2**62), 2**62, size=n), base).astype(
+            np.int64
+        )
+        c, payload, _ = encode_ints(v)
+        out, p = decode_ints(c, payload, n, 0)
+        assert p == len(payload) and (out == v).all()

@@ -22,7 +22,11 @@ import os
 import numpy as np
 
 from .intcodec import (
+    _bp64_pack_group,
+    _bp64_unpack_group,
+    bit_length64,
     pack_from_plan,
+    pack_int_array,
     packed_size,
     plan_int_array,
     unpack_int_array,
@@ -50,8 +54,9 @@ class IntCodec:
     RLE = 2
     DICT = 3
     DELTA = 4
+    PFOR = 5  # patched FoR: fixed base width + exception list (Lemire 2012)
 
-    NAMES = {0: "zebra", 1: "constant", 2: "rle", 3: "dict", 4: "delta"}
+    NAMES = {0: "zebra", 1: "constant", 2: "rle", 3: "dict", 4: "delta", 5: "pfor"}
 
 
 class StrCodec:
@@ -149,6 +154,12 @@ def encode_ints(values: np.ndarray, allow: set[int] | None = None):
                     ),
                 )
 
+        if allowed(IntCodec.PFOR) and n >= 256:
+            pfor = _pfor_build(values, zplan)
+            if pfor is not None:
+                size, thunk = pfor
+                candidates[IntCodec.PFOR] = (size, thunk)
+
         if allowed(IntCodec.DELTA) and n >= 2:
             # first value kept out of the delta frame so a large base does
             # not widen the frame-of-reference of the (small) diffs
@@ -174,6 +185,73 @@ def encode_ints(values: np.ndarray, allow: set[int] | None = None):
     }
     meta.update(_column_stats(values, zplan))
     return codec, thunk(), meta
+
+
+def _pfor_build(values: np.ndarray, zplan):
+    """Patched frame-of-reference candidate: ``(exact_size, thunk)`` or None.
+
+    zebra's codec adapts bit width PER 64-VALUE CHUNK, so a zipf-ish token
+    stream where nearly every chunk contains one rare large token pays the
+    outlier's width for all 64 values.  PFoR (Lemire & Boytsov 2012, the
+    paper zebra's README cites for its own codec) packs the whole column at
+    one small base width and stores the few oversized values as patches:
+    ``u8 b | i64 vmin | u32 n_exc | base bits | [positions] | [values]``.
+
+    Base-width choice is exact-cost-driven over the value-width histogram;
+    the final size is exact (patch arrays are planned), so the selector's
+    <=-zebra bound is untouched.
+    """
+    n = len(values)
+    with np.errstate(over="ignore"):
+        u = (values - _I64(zplan.vmin)).view(np.uint64)
+    widths = bit_length64(u)
+    hist = np.bincount(widths, minlength=65)
+    n_exc_at = n - np.cumsum(hist)  # n_exc_at[b] = count(width > b)
+    n_groups = -(-n // 64)
+    bs = np.arange(65, dtype=np.int64)
+    # ~2 bytes/packed position + 8 bytes/value estimate for choosing b only
+    est = n_groups * 8 * bs + n_exc_at * 10
+    b = int(est.argmin())
+    n_exc = int(n_exc_at[b])
+    if n_exc > n // 8:
+        return None
+    # exact candidate size
+    positions = np.flatnonzero(widths > b)
+    exc_vals = values[positions]
+    ppos = plan_int_array(positions.astype(_I64)) if n_exc else None
+    pval = plan_int_array(exc_vals) if n_exc else None
+    size = 1 + 8 + 4 + n_groups * 8 * b
+    if n_exc:
+        size += ppos.size + pval.size
+    if size >= zplan.size:
+        return None
+
+    def thunk():
+        base = u.copy()
+        if n_exc:
+            base[positions] = 0
+        pad = n_groups * 64 - n
+        if pad:
+            base = np.concatenate([base, np.zeros(pad, dtype=np.uint64)])
+        parts = (
+            _bp64_pack_group(base.reshape(n_groups, 64), b)
+            .astype("<u8", copy=False)
+            .tobytes()
+            if b
+            else b""
+        )
+        out = [
+            bytes([b]),
+            np.int64(zplan.vmin).astype("<i8").tobytes(),
+            np.uint32(n_exc).astype("<u4").tobytes(),
+            parts,
+        ]
+        if n_exc:
+            out.append(pack_from_plan(ppos))
+            out.append(pack_from_plan(pval))
+        return b"".join(out)
+
+    return size, thunk
 
 
 def _column_stats(values: np.ndarray, zplan) -> dict:
@@ -262,6 +340,13 @@ def skip_ints(codec: int, buf, n: int, pos: int = 0) -> int:
         return int_array_end(p)
     if codec == IntCodec.DELTA:
         return int_array_end(pos + 8)
+    if codec == IntCodec.PFOR:
+        b = mv[pos]
+        n_exc = int(np.frombuffer(mv[pos + 9 : pos + 13], dtype="<u4")[0])
+        p = pos + 13 + (-(-n // 64)) * 8 * b
+        if n_exc:
+            p = int_array_end(int_array_end(p))
+        return p
     raise ValueError(f"unknown int codec {codec}")
 
 
@@ -328,6 +413,28 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
         with np.errstate(over="ignore"):
             np.cumsum(deltas, dtype=_I64, out=out[1:])
             out[1:] += _I64(first)
+        return out, p
+    if codec == IntCodec.PFOR:
+        b = mv[pos]
+        vmin = int(np.frombuffer(mv[pos + 1 : pos + 9], dtype="<i8")[0])
+        n_exc = int(np.frombuffer(mv[pos + 9 : pos + 13], dtype="<u4")[0])
+        n_groups = -(-n // 64)
+        p = pos + 13
+        if b:
+            nbytes = n_groups * 8 * b
+            words = np.frombuffer(mv[p : p + nbytes], dtype="<u8").reshape(
+                n_groups, b
+            )
+            base = _bp64_unpack_group(words.astype(np.uint64), b).reshape(-1)[:n]
+            p += nbytes
+        else:
+            base = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            out = (base.view(_I64) + _I64(vmin)).astype(_I64)
+        if n_exc:
+            positions, p = unpack_int_array(mv, n_exc, p)
+            exc_vals, p = unpack_int_array(mv, n_exc, p)
+            out[positions] = exc_vals
         return out, p
     raise ValueError(f"unknown int codec {codec}")
 
