@@ -529,6 +529,90 @@ def _q_verify_blocks(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (native F.session_window): one row per
+    (user, session) with start / end(last+gap) / event count / span.
+    Exact oracle: lag-gap island detection in SQL."""
+    from zebra_spark.functions.sessions import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    return sessionize(ev, key_col="user_id", ts_col="ts", gap="30 minutes")
+
+
+def _q_session_stats(spark, sf_dir):
+    """Per-user rollup over sessions (count / events / longest span)."""
+    from zebra_spark.functions.sessions import session_stats, sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    return session_stats(
+        sessionize(ev, key_col="user_id", ts_col="ts", gap="30 minutes"),
+        key_col="user_id",
+    )
+
+
+def _q_streaming_window_stats(spark, sf_dir):
+    """A REAL Structured Streaming run, oracle-checked exactly: events are
+    replayed through readStream -> watermarked 1-day windows -> append-mode
+    parquet sink (Trigger.AvailableNow).  Append mode emits exactly the
+    windows the final watermark (max ts - 7h) closed, so a batch SQL with
+    the same cutoff reproduces the output bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from zebra_spark.streaming.window_stats import windowed_ingest_stats
+
+    ev = _load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="zs_wstats_")
+    ckpt = tempfile.mkdtemp(prefix="zs_wstats_ckpt_")
+    # Watermarks require TIMESTAMP (not the parquet NTZ); under a UTC
+    # session the cast is value-preserving and day windows align with the
+    # oracle's naive date_trunc. Restored after the (eager) materialize.
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)  # file source wants a directory
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("n_chars", F.length("props"))
+        )
+        stats = windowed_ingest_stats(
+            stream,
+            window_duration="1 day",
+            watermark="7 hours",
+            ts_col="ts",
+            source_col="event_type",
+            size_col="n_chars",
+            id_col=None,  # exact aggregates only, for the oracle
+        )
+        q = (
+            stats.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.read.parquet(out)
+            .select(
+                F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+                F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+                F.col("event_type"),
+                F.col("n_docs").alias("n_events"),
+                F.col("total_chars").alias("total_prop_chars"),
+                F.col("max_chars").alias("max_prop_chars"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable] = {
         f"roundtrip_{t}": _q_roundtrip(t)
@@ -569,6 +653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec_metrics": _q_codec_metrics,
             "ztxt_roundtrip": _q_ztxt_roundtrip,
             "zebra_file_roundtrip": _q_zebra_file_roundtrip,
+            "sessionize": _q_sessionize,
+            "session_stats": _q_session_stats,
+            "streaming_window_stats": _q_streaming_window_stats,
         }
     )
     return qs
@@ -722,6 +809,53 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked "
             "WHERE rank <= 5 ORDER BY query_id, rank"
+        ),
+        # session_window semantics: events exactly gap apart merge; a new
+        # session starts only when the idle gap STRICTLY exceeds 30 min
+        "sessionize": (
+            "WITH o AS (SELECT user_id, ts, "
+            "  CASE WHEN lag(ts) OVER w IS NULL "
+            "       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+            "       THEN 1 ELSE 0 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, sum(new_sess) OVER "
+            "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM o) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "  max(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "  count(*) AS n_events, "
+            "  epoch_us(max(ts) + INTERVAL 30 MINUTE) - epoch_us(min(ts)) "
+            "    AS span_micros "
+            "FROM s GROUP BY user_id, sid"
+        ),
+        "session_stats": (
+            "WITH o AS (SELECT user_id, ts, "
+            "  CASE WHEN lag(ts) OVER w IS NULL "
+            "       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+            "       THEN 1 ELSE 0 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, sum(new_sess) OVER "
+            "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM o), "
+            "sess AS (SELECT user_id, sid, count(*) AS n_events, "
+            "  epoch_us(max(ts) + INTERVAL 30 MINUTE) - epoch_us(min(ts)) AS span "
+            "FROM s GROUP BY user_id, sid) "
+            "SELECT user_id, count(*) AS n_sessions, "
+            "  CAST(sum(n_events) AS BIGINT) AS n_events, "
+            "  max(span) AS max_span_micros FROM sess GROUP BY user_id"
+        ),
+        # append mode emits exactly the windows the FINAL watermark closed:
+        # watermark = max(ts) - 7h, window closed when window_end <= watermark
+        "streaming_window_stats": (
+            "WITH m AS (SELECT max(ts) - INTERVAL 7 HOUR AS wm FROM events), "
+            "b AS (SELECT date_trunc('day', ts) AS window_start, event_type, "
+            "  count(*) AS n_events, "
+            "  CAST(sum(length(props)) AS BIGINT) AS total_prop_chars, "
+            "  CAST(max(length(props)) AS INT) AS max_prop_chars "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT b.window_start, b.window_start + INTERVAL 1 DAY AS window_end, "
+            "  b.event_type, b.n_events, b.total_prop_chars, b.max_prop_chars "
+            "FROM b, m WHERE b.window_start + INTERVAL 1 DAY <= m.wm"
         ),
     }
     return sql

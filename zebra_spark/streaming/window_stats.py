@@ -29,6 +29,7 @@ def windowed_ingest_stats(
     ts_col: str = "event_time",
     source_col: str = "source",
     size_col: str = "n_chars",
+    id_col: str | None = "doc_id",
 ) -> DataFrame:
     """(event_time, source, n_chars, ...) stream -> per-window per-source
     ingest stats, closed exactly once per window in append mode.
@@ -37,16 +38,22 @@ def windowed_ingest_stats(
     (max event time seen - watermark) are dropped by the engine and their
     windows finalized — the streaming analogue of MaximumRowSize's
     "bound memory by dropping, and account for it" discipline.
+
+    ``id_col=None`` drops the approx-distinct sketch, leaving only exact
+    aggregates (count/sum/max) so the output is oracle-checkable
+    bit-for-bit against a batch groupBy.
     """
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(size_col).cast("long")).alias("total_chars"),
+        F.max(size_col).alias("max_chars"),
+    ]
+    if id_col is not None:
+        aggs.append(F.approx_count_distinct(id_col).alias("approx_distinct_docs"))
     return (
         docs_stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration), F.col(source_col))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.col(size_col).cast("long")).alias("total_chars"),
-            F.max(size_col).alias("max_chars"),
-            F.approx_count_distinct("doc_id").alias("approx_distinct_docs"),
-        )
+        .agg(*aggs)
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
@@ -54,6 +61,6 @@ def windowed_ingest_stats(
             "n_docs",
             "total_chars",
             "max_chars",
-            "approx_distinct_docs",
+            *(["approx_distinct_docs"] if id_col is not None else []),
         )
     )
