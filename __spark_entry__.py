@@ -613,6 +613,38 @@ def _q_streaming_window_stats(spark, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _q_ivf_ann_exhaustive(spark, sf_dir):
+    """IVF ANN with nprobe == n_clusters: probing every inverted list is
+    exhaustive, so the output is bit-identical to brute force — this
+    hash-verifies the whole IVF pipeline (k-means codebook, assignment,
+    probe join, ranking) against the SQL oracle."""
+    from zebra_spark.functions.ivf import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return ivf_ann_topk(
+        emb, queries, k=5, n_clusters=8, nprobe=8, iters=2
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN, approximate setting (nprobe 4/16): the scale path — rows-only
+    driver check; recall is bounded by tests/test_ivf.py."""
+    from zebra_spark.functions.ivf import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return ivf_ann_topk(
+        emb, queries, k=5, n_clusters=16, nprobe=4, iters=2
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable] = {
         f"roundtrip_{t}": _q_roundtrip(t)
@@ -653,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec_metrics": _q_codec_metrics,
             "ztxt_roundtrip": _q_ztxt_roundtrip,
             "zebra_file_roundtrip": _q_zebra_file_roundtrip,
+            "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
+            "ivf_ann_topk": _q_ivf_ann_topk,
             "sessionize": _q_sessionize,
             "session_stats": _q_session_stats,
             "streaming_window_stats": _q_streaming_window_stats,
@@ -858,4 +892,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM b, m WHERE b.window_start + INTERVAL 1 DAY <= m.wm"
         ),
     }
+    # probing every IVF list is exhaustive == brute force -> same oracle
+    sql["ivf_ann_exhaustive"] = sql["ann_topk"]
     return sql
