@@ -63,6 +63,45 @@ def test_resize_images(spark):
     assert out["bad"]["kind"] == "undecodable" and out["bad"]["payload"] is None
 
 
+def test_resize_images_vectorized_paths(spark):
+    """Mixed shapes, truncated fake payloads (body > 4096 cap), null
+    payloads, and undecodable bytes — every row matches the per-row
+    reference decode+index resize."""
+    rows = [
+        # two distinct full-body shapes (grouped gathers)
+        ("a0", "image", bytearray(fake_image(100, 16, 16)), None),
+        ("a1", "image", bytearray(fake_image(101, 16, 16)), None),
+        ("b0", "image", bytearray(fake_image(102, 24, 10)), None),
+        # truncated fake: 64*64*3 > 4096 -> rng-regenerate path
+        ("t0", "image", bytearray(fake_image(103, 64, 64)), None),
+        # null payload and garbage bytes -> quarantined
+        ("n0", "image", None, None),
+        ("g0", "image", bytearray(b"\x89PNG----------------------"), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,duration_ms:int>",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    for mid, payload in [
+        ("a0", fake_image(100, 16, 16)),
+        ("a1", fake_image(101, 16, 16)),
+        ("b0", fake_image(102, 24, 10)),
+        ("t0", fake_image(103, 64, 64)),
+    ]:
+        src = decode_image(payload)
+        ys = (np.arange(8) * src.shape[0] // 8).astype(int)
+        xs = (np.arange(8) * src.shape[1] // 8).astype(int)
+        got = decode_image(bytes(out[mid]["payload"]))
+        np.testing.assert_array_equal(got, src[ys][:, xs], err_msg=mid)
+        assert out[mid]["kind"] == "image"
+        assert out[mid]["meta"]["height"] == 8 and out[mid]["meta"]["width"] == 8
+    for mid in ("n0", "g0"):
+        assert out[mid]["kind"] == "undecodable"
+        assert out[mid]["payload"] is None and out[mid]["meta"] is None
+
+
 def test_media_blocks_roundtrip(spark):
     """Binary media payloads survive the striped block codec bit-exactly."""
     media = _media_df(spark).select("media_id", "kind", "payload")

@@ -135,66 +135,149 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInArrow(run, schema=FEATURES_DDL)
 
 
+def _binary_view(arr: pa.Array):
+    """(starts, lengths, flat_data, is_null) numpy views over an Arrow
+    binary column — zero copies of the payload bytes."""
+    barr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    barr = barr.cast(pa.large_binary())
+    bufs = barr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        barr.offset : barr.offset + len(barr) + 1
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    n = len(barr)
+    is_null = np.zeros(n, dtype=bool)
+    if bufs[0] is not None:
+        bits = np.unpackbits(
+            np.frombuffer(bufs[0], dtype=np.uint8), bitorder="little"
+        )
+        is_null = ~bits[barr.offset : barr.offset + n].astype(bool)
+    return offs[:-1].copy(), np.diff(offs), data, is_null
+
+
 def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """Nearest-neighbour resize of decodable images (fake format).
 
-    Demonstrates the decode -> transform -> re-encode plumbing shape; rows
-    whose payload cannot be decoded are passed through with a null payload
-    and an error kind so a real pipeline can route them to quarantine.
+    Vectorized over the whole Arrow batch — no per-row ``.as_py()``:
+    headers parse as one fancy-index gather off the flat payload buffer,
+    rows are grouped by (h, w, c) and each group resizes with a single
+    precomputed gather (``data[body_starts[:, None] + idx_map]``), and the
+    output binary column is assembled directly from offsets + one flat
+    buffer.  Only truncated fake payloads (pixels regenerate from a per-row
+    rng seed) fall back to per-row work — a test fixture path, not a scale
+    path.  Rows whose payload cannot be decoded are passed through with a
+    null payload and an error kind so a real pipeline can quarantine them.
     """
+    magic = np.frombuffer(FAKE_MAGIC, dtype=np.uint8)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            out_ids, out_kinds, out_payloads, out_meta = [], [], [], []
-            for i in range(rb.num_rows):
-                mid = rb.column("media_id")[i].as_py()
-                payload = rb.column("payload")[i].as_py()
-                try:
-                    img = decode_image(payload)
-                    ys = (np.arange(out_h) * img.shape[0] // out_h).astype(int)
-                    xs = (np.arange(out_w) * img.shape[1] // out_w).astype(int)
-                    resized = img[ys][:, xs]
-                    out_payloads.append(
-                        FAKE_MAGIC
-                        + np.array(
-                            [out_h, out_w, img.shape[2], 0], dtype="<i4"
-                        ).tobytes()
-                        + resized.tobytes()
+            n = rb.num_rows
+            starts, lengths, data, is_null = _binary_view(rb.column("payload"))
+
+            hwcs = np.zeros((n, 4), dtype=np.int64)  # h, w, c, seed
+            decodable = np.zeros(n, dtype=bool)
+            head_rows = np.flatnonzero(~is_null & (lengths >= 20))
+            if len(head_rows):
+                heads = data[starts[head_rows, None] + np.arange(20)]
+                ok = (heads[:, :4] == magic).all(axis=1)
+                vals = (
+                    np.ascontiguousarray(heads[:, 4:20])
+                    .view("<i4")
+                    .astype(np.int64)
+                    .reshape(-1, 4)
+                )
+                ok &= (vals[:, :3] > 0).all(axis=1)
+                hwcs[head_rows] = vals
+                decodable[head_rows] = ok
+
+            out_len = np.where(
+                decodable, 20 + out_h * out_w * hwcs[:, 2], 0
+            ).astype(np.int64)
+            out_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(out_len, out=out_offs[1:])
+            out_flat = np.zeros(out_offs[-1], dtype=np.uint8)
+
+            dec_rows = np.flatnonzero(decodable)
+            if len(dec_rows):
+                # headers, all rows at once
+                hdr = np.empty((len(dec_rows), 20), dtype=np.uint8)
+                hdr[:, :4] = magic
+                hdr[:, 4:] = (
+                    np.stack(
+                        [
+                            np.full(len(dec_rows), out_h),
+                            np.full(len(dec_rows), out_w),
+                            hwcs[dec_rows, 2],
+                            np.zeros(len(dec_rows)),
+                        ],
+                        axis=1,
                     )
-                    out_kinds.append("image")
-                    out_meta.append(
-                        {"height": out_h, "width": out_w, "channels": img.shape[2], "duration_ms": None}
-                    )
-                except NotImplementedError:
-                    out_payloads.append(None)
-                    out_kinds.append("undecodable")
-                    out_meta.append(None)
-                out_ids.append(mid)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "media_id": out_ids,
-                    "kind": out_kinds,
-                    "payload": out_payloads,
-                    "meta": out_meta,
-                },
-                schema=pa.schema(
-                    [
-                        ("media_id", pa.string()),
-                        ("kind", pa.string()),
-                        ("payload", pa.binary()),
-                        (
-                            "meta",
-                            pa.struct(
-                                [
-                                    ("height", pa.int32()),
-                                    ("width", pa.int32()),
-                                    ("channels", pa.int32()),
-                                    ("duration_ms", pa.int32()),
-                                ]
-                            ),
-                        ),
-                    ]
-                ),
+                    .astype("<i4")
+                    .view(np.uint8)
+                )
+                out_flat[out_offs[dec_rows, None] + np.arange(20)] = hdr
+
+            full = decodable & (lengths - 20 == hwcs[:, 0] * hwcs[:, 1] * hwcs[:, 2])
+            trunc_rows = np.flatnonzero(decodable & ~full)
+            for shape in np.unique(hwcs[full][:, :3], axis=0) if full.any() else []:
+                h, w, c = (int(x) for x in shape)
+                grp = np.flatnonzero(full & (hwcs[:, :3] == shape).all(axis=1))
+                ys = np.arange(out_h) * h // out_h
+                xs = np.arange(out_w) * w // out_w
+                idx_map = (
+                    (ys[:, None] * w + xs[None, :]).reshape(-1)[:, None] * c
+                    + np.arange(c)
+                ).reshape(-1)
+                resized = data[(starts[grp] + 20)[:, None] + idx_map]
+                out_flat[
+                    (out_offs[grp] + 20)[:, None] + np.arange(len(idx_map))
+                ] = resized
+            for i in trunc_rows:  # test-fixture path: rng per seed
+                img = decode_image(
+                    data[starts[i] : starts[i] + lengths[i]].tobytes()
+                )
+                ys = np.arange(out_h) * img.shape[0] // out_h
+                xs = np.arange(out_w) * img.shape[1] // out_w
+                out_flat[out_offs[i] + 20 : out_offs[i + 1]] = (
+                    img[ys][:, xs].reshape(-1)
+                )
+
+            payload = pa.Array.from_buffers(
+                pa.large_binary(),
+                n,
+                [
+                    pa.py_buffer(
+                        np.packbits(decodable, bitorder="little").tobytes()
+                    ),
+                    pa.py_buffer(out_offs.tobytes()),
+                    pa.py_buffer(out_flat.tobytes()),
+                ],
+            ).cast(pa.binary())
+            null_i32 = pa.nulls(n, pa.int32())
+            mask = pa.array(~decodable)
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array(np.where(decodable, out_h, 0).astype(np.int32)),
+                    pa.array(np.where(decodable, out_w, 0).astype(np.int32)),
+                    pa.array(hwcs[:, 2].astype(np.int32)),
+                    null_i32,
+                ],
+                names=["height", "width", "channels", "duration_ms"],
+                mask=mask,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("media_id"),
+                    pa.array(np.where(decodable, "image", "undecodable")),
+                    payload,
+                    meta,
+                ],
+                names=["media_id", "kind", "payload", "meta"],
             )
 
     return media.mapInArrow(run, schema=MEDIA_DDL)
