@@ -70,6 +70,12 @@ def _q_token_count(spark, sf_dir):
     return token_count(_load(spark, sf_dir, "documents"))
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    from zebra_spark.functions.text import bpe_token_count
+
+    return bpe_token_count(_load(spark, sf_dir, "documents"))
+
+
 def _q_fingerprint(spark, sf_dir):
     from zebra_spark.functions.text import fingerprint
 
@@ -654,7 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(
         {
             "token_count": _q_token_count,
-            "fingerprint": _q_fingerprint,
+            "bpe_token_count": _q_bpe_token_count,
+        "fingerprint": _q_fingerprint,
             "quality_score": _q_quality,
             "lang_stats": _q_lang_stats,
             "dedup_exact": _q_dedup_exact,
@@ -723,6 +730,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens "
             "FROM documents"
+        ),
+        "bpe_token_count": (
+            "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) "
+            "AS n_tokens_ws, CAST(len(regexp_extract_all(text, "
+            "' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) AS INT) "
+            "AS n_tokens_bpe FROM documents"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "quality_score": (

@@ -24,6 +24,32 @@ def token_count(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", n.cast("int").alias("n_tokens"))
 
 
+# BPE-ish pretokenizer: letter runs / digit runs / punctuation runs, each
+# optionally glued to one leading space, plus residual whitespace.  Kept to
+# constructs Java regex and RE2 (DuckDB) evaluate identically — no
+# lookahead, ASCII classes — so the SQL oracle matches token-for-token.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace AND BPE-ish-regex token counts per document.
+
+    The BPE-ish count approximates what a byte-pair-encoding pretokenizer
+    (word/number/punct splits with leading-space glue) would feed the
+    merger — the standard budget metric for training-data pipelines.
+    Pure JVM regexp (codegen), no Python.
+    """
+    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("int").alias("n_tokens_ws"),
+        bpe.cast("int").alias("n_tokens_bpe"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint (md5 of the text)."""
     return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
