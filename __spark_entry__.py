@@ -651,6 +651,60 @@ def _q_ivf_ann_topk(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _q_deterministic_sample(spark, sf_dir):
+    """Hash-threshold sampling: stable across runs/partitionings/engines
+    (md5, not xxhash64, so the SQL oracle reproduces the predicate)."""
+    from zebra_spark.functions.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _load(spark, sf_dir, "orders"), rate=0.1, key_col="o_orderkey"
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-stratum rates (downsample en, keep more code-like strata) as one
+    scan-level CASE predicate — no shuffle."""
+    from zebra_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _load(spark, sf_dir, "documents"),
+        strata_col="lang",
+        fractions={"en": 0.25, "de": 1.0, "zh": 0.5},
+        key_col="doc_id",
+        default_rate=0.1,
+    )
+
+
+def _q_streaming_encode_roundtrip(spark, sf_dir):
+    """Streaming ENCODE hash-verified: events replayed through readStream ->
+    foreachBatch encode_df -> parquet block sink; decoding the sunk blocks
+    must reproduce the table bit-for-bit (oracle: SELECT * FROM events)."""
+    import shutil
+    import tempfile
+
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.streaming.encode_stream import encode_stream
+
+    ev = _load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="zs_senc_")
+    ckpt = tempfile.mkdtemp(prefix="zs_senc_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = encode_stream(stream, out, ckpt, rows_per_block=1 << 14)
+        q.awaitTermination(300)
+        blocks = spark.read.parquet(out)
+        return decode_df(
+            blocks, schema=ev.schema, resolve_schemas=True
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs: dict[str, Callable] = {
         f"roundtrip_{t}": _q_roundtrip(t)
@@ -697,6 +751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sessionize": _q_sessionize,
             "session_stats": _q_session_stats,
             "streaming_window_stats": _q_streaming_window_stats,
+            "streaming_encode_roundtrip": _q_streaming_encode_roundtrip,
+            "deterministic_sample": _q_deterministic_sample,
+            "stratified_sample": _q_stratified_sample,
         }
     )
     return qs
@@ -908,4 +965,15 @@ def oracle_sql() -> dict[str, str]:
     }
     # probing every IVF list is exhaustive == brute force -> same oracle
     sql["ivf_ann_exhaustive"] = sql["ann_topk"]
+    sql["streaming_encode_roundtrip"] = "SELECT * FROM events"
+    sql["deterministic_sample"] = (
+        "SELECT * FROM orders WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':42'), 1, 8)) AS BIGINT) < 429496729"
+    )
+    sql["stratified_sample"] = (
+        "SELECT * FROM documents WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT) < "
+        "CASE WHEN lang = 'zh' THEN 2147483648 "
+        "WHEN lang = 'en' THEN 1073741824 "
+        "WHEN lang = 'de' THEN 4294967296 "
+        "ELSE 429496729 END"
+    )
     return sql
