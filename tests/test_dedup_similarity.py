@@ -100,6 +100,33 @@ def test_lsh_ann_recall_on_planted_neighbor(embeddings):
     assert any(r["neighbor_id"] == 100 for r in res)
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multiprobe must recover at least the single-bucket recall,
+    and strictly more pairs when neighbors straddle a hyperplane."""
+    from zebra_spark.functions.similarity import brute_force_topk, lsh_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(emb, queries, k=5, bits=4, multiprobe=0).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(emb, queries, k=5, bits=4, multiprobe=1).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.3  # 5 probes of 16 buckets on 500 vectors
+
+
 def test_lsh_hot_bucket_cap_drops_and_records(spark):
     """A boilerplate mega-bucket (many identical docs) must not explode the
     band self-join: buckets above the cap are dropped and counted."""

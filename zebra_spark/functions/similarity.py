@@ -208,12 +208,29 @@ def lsh_ann_topk(
     dim: int | None = None,
     k: int = 5,
     bits: int = 8,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's bucket."""
+    """Approximate top-k: score only corpus vectors in the query's bucket(s).
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
+    from the query signature (the standard multi-probe LSH recall fix: a
+    vector whose projection is near a hyperplane lands one bit away).  The
+    probe fan-out is query-side only — ``bits + 1`` probe rows per query,
+    built with JVM xor, exploded, then one equi-join; each corpus vector
+    lives in exactly one bucket so candidate pairs never duplicate.
+    Candidates grow to ~(bits+1) * n / 2^bits per query — still a vanishing
+    corpus fraction at scale.
+    """
     corpus = hyperplane_signatures(embeddings, dim, bits)
     qsig = hyperplane_signatures(
         queries.withColumnRenamed("qvec", "embedding"), dim, bits
     ).withColumnRenamed("embedding", "qvec")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+        )
+        qsig = qsig.withColumn("bucket", F.explode(probes))
     joined = corpus.join(broadcast(qsig), on="bucket").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
