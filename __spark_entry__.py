@@ -94,6 +94,12 @@ def _q_lang_stats(spark, sf_dir):
     return lang_stats(_load(spark, sf_dir, "documents"))
 
 
+def _q_lang_id(spark, sf_dir):
+    from zebra_spark.functions.text import lang_id
+
+    return lang_id(_load(spark, sf_dir, "documents"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from zebra_spark.functions.dedup import exact_dedup
 
@@ -718,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
             "quality_score": _q_quality,
             "lang_stats": _q_lang_stats,
+            "lang_id": _q_lang_id,
             "dedup_exact": _q_dedup_exact,
             "ann_topk": _q_ann_topk,
             "lsh_ann_topk": _q_lsh_ann,
@@ -966,6 +973,15 @@ def oracle_sql() -> dict[str, str]:
     # probing every IVF list is exhaustive == brute force -> same oracle
     sql["ivf_ann_exhaustive"] = sql["ann_topk"]
     sql["streaming_encode_roundtrip"] = "SELECT * FROM events"
+    sql["lang_id"] = (
+        "SELECT doc_id, lang, CASE "
+        "WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) / "
+        "  CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) < 0.5 "
+        "THEN 'non_latin' "
+        "WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) / "
+        "  CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) > 0.3 "
+        "THEN 'numeric' ELSE 'latin' END AS lang_pred FROM documents"
+    )
     sql["deterministic_sample"] = (
         "SELECT * FROM orders WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':42'), 1, 8)) AS BIGINT) < 429496729"
     )
