@@ -1,0 +1,222 @@
+"""zs — zebra-cli command parity over the zebra_spark operators.
+
+Mirrors the reference's CLI surface (zebra-cli/main/zebra.hs — import,
+export, merge, adapt, summary, consistency, cat) so a zebra user can run
+the same commands against this engine, plus `zwrite`/`zread` for the
+binary `||ZEBRA||00003||` file container:
+
+    python tools/zs.py import  --input text_dir --output blocks_dir
+    python tools/zs.py export  --input blocks_dir --output text_dir
+    python tools/zs.py cat     --input blocks_dir --limit 10
+    python tools/zs.py merge   --inputs a_blocks,b_blocks --keys doc_id \
+                               --output merged_blocks [--max-row-bytes N]
+    python tools/zs.py adapt   --input blocks_dir --schema t.zschema \
+                               --output blocks_dir2
+    python tools/zs.py summary --input blocks_dir
+    python tools/zs.py consistency --input blocks_dir
+    python tools/zs.py zwrite  --input blocks_dir --output zfiles_dir
+    python tools/zs.py zread   --inputs f1.zebra,f2.zebra --output parquet_dir
+
+Blocks directories are the parquet blocks tables written by
+`encode_df(...).write.parquet(...)`; they are self-describing (schema
+bytes ride in the blocks), so no external schema is needed to read one.
+On a cluster, submit with `spark-submit --py-files zebra_spark.zip`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark(args):
+    from zebra_spark.session import get_spark
+
+    return get_spark(master=args.master, app_name=f"zs-{args.cmd}")
+
+
+def _read_blocks(spark, path):
+    from zebra_spark.operators.decode import decode_df
+
+    blocks = spark.read.parquet(path)
+    # stored blocks may have been shuffled: resolve schema ids up front
+    return blocks, decode_df(blocks, resolve_schemas=True)
+
+
+def cmd_import(args):
+    from zebra_spark.operators.encode import encode_df
+    from zebra_spark.operators.textio import import_json
+
+    spark = _spark(args)
+    df = import_json(spark, args.input, schema=args.schema)
+    blocks = encode_df(df, rows_per_block=args.rows_per_block)
+    blocks.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"imported_rows": df.count(), "output": args.output}))
+
+
+def cmd_export(args):
+    from zebra_spark.operators.textio import export_json
+
+    spark = _spark(args)
+    _, df = _read_blocks(spark, args.input)
+    export_json(df, args.output)
+    print(json.dumps({"exported_rows": df.count(), "output": args.output}))
+
+
+def cmd_cat(args):
+    spark = _spark(args)
+    _, df = _read_blocks(spark, args.input)
+    if args.columns:
+        df = df.select(*args.columns.split(","))
+    rows = df.limit(args.limit).toJSON().collect() if args.limit else df.toJSON().collect()
+    for r in rows:
+        print(r)
+
+
+def cmd_merge(args):
+    from zebra_spark.operators.encode import encode_df
+    from zebra_spark.operators.merge import merge_tables
+
+    spark = _spark(args)
+    dfs = [_read_blocks(spark, p)[1] for p in args.inputs.split(",")]
+    keys = args.keys.split(",")
+    merged, dropped = merge_tables(dfs, keys, max_row_bytes=args.max_row_bytes)
+    encode_df(merged, rows_per_block=args.rows_per_block).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "merged_keys": merged.count(),
+                "dropped_keys": dropped.count(),
+                "output": args.output,
+            }
+        )
+    )
+
+
+def cmd_adapt(args):
+    from zebra_spark.operators.encode import encode_df
+    from zebra_spark.operators.merge import transmute
+    from zebra_spark.operators.zschema import from_zschema
+
+    spark = _spark(args)
+    _, df = _read_blocks(spark, args.input)
+    with open(args.schema) as f:
+        target = from_zschema(f.read())
+    out = transmute(df, target, allow_default=not args.deny_default)
+    encode_df(out, rows_per_block=args.rows_per_block).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(json.dumps({"adapted_rows": out.count(), "output": args.output}))
+
+
+def cmd_summary(args):
+    from zebra_spark.plans.summary import blocks_summary
+
+    spark = _spark(args)
+    blocks = spark.read.parquet(args.input)
+    row = blocks_summary(blocks).collect()[0]
+    print(json.dumps({k: row[k] for k in row.asDict()}, default=str))
+
+
+def cmd_consistency(args):
+    from zebra_spark.plans.summary import consistency_check
+
+    spark = _spark(args)
+    blocks = spark.read.parquet(args.input)
+    bad = consistency_check(blocks).collect()
+    for r in bad:
+        print(json.dumps(r.asDict(), default=str))
+    print(json.dumps({"violations": len(bad)}))
+    if bad:
+        sys.exit(1)
+
+
+def cmd_zwrite(args):
+    from zebra_spark.operators.zfile import write_zebra_files
+
+    spark = _spark(args)
+    _, df = _read_blocks(spark, args.input)
+    manifest = write_zebra_files(df, args.output, rows_per_block=args.rows_per_block)
+    paths = [r["path"] for r in manifest.collect()]
+    print(json.dumps({"files": paths}))
+
+
+def cmd_zread(args):
+    from zebra_spark.operators.zfile import read_zebra_files
+
+    spark = _spark(args)
+    df = read_zebra_files(spark, args.inputs.split(","))
+    df.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count(), "output": args.output}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="zs", description=__doc__)
+    ap.add_argument("--master", default="local[4]")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("import", help="line-JSON (+.zschema sidecar) -> blocks")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--schema", default=None, help="optional schema DDL/json")
+    p.add_argument("--rows-per-block", type=int, default=1 << 16)
+    p.set_defaults(fn=cmd_import)
+
+    p = sub.add_parser("export", help="blocks -> line-JSON + schema sidecars")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("cat", help="print decoded rows as JSON lines")
+    p.add_argument("--input", required=True)
+    p.add_argument("--limit", type=int, default=0, help="0 = all rows")
+    p.add_argument("--columns", default=None, help="comma list projection")
+    p.set_defaults(fn=cmd_cat)
+
+    p = sub.add_parser("merge", help="k-way merge of blocks tables by key")
+    p.add_argument("--inputs", required=True, help="comma list of blocks dirs")
+    p.add_argument("--keys", required=True, help="comma list of key columns")
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-row-bytes", type=int, default=None)
+    p.add_argument("--rows-per-block", type=int, default=1 << 16)
+    p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("adapt", help="transmute blocks to a target .zschema")
+    p.add_argument("--input", required=True)
+    p.add_argument("--schema", required=True, help=".zschema file")
+    p.add_argument("--output", required=True)
+    p.add_argument("--deny-default", action="store_true")
+    p.add_argument("--rows-per-block", type=int, default=1 << 16)
+    p.set_defaults(fn=cmd_adapt)
+
+    p = sub.add_parser("summary", help="one-line JSON blocks summary")
+    p.add_argument("--input", required=True)
+    p.set_defaults(fn=cmd_summary)
+
+    p = sub.add_parser("consistency", help="inter-block order check (exit 1 on violation)")
+    p.add_argument("--input", required=True)
+    p.set_defaults(fn=cmd_consistency)
+
+    p = sub.add_parser("zwrite", help="blocks -> ||ZEBRA||00003|| binary files")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--rows-per-block", type=int, default=1 << 16)
+    p.set_defaults(fn=cmd_zwrite)
+
+    p = sub.add_parser("zread", help="||ZEBRA|| files -> parquet")
+    p.add_argument("--inputs", required=True, help="comma list of .zebra files")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_zread)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,10 @@ from ..codec.warmup import warm_codec
 
 BLOCKS_DDL = (
     "block_id string, part_start string, key_min string, key_max string, "
+    # key_min/key_max/part_start are strings so the block schema is
+    # key-type-agnostic; _key_str zero-pads non-negative ints so the STRING
+    # order equals the numeric order (consistency_check compares strings)
+    # while CAST(... AS BIGINT) still recovers the value.
     "n_rows long, payload binary, "
     "schema_id string, schema binary, meta string, raw_bytes long, "
     "enc_bytes long, zebra_bytes long, crc32 long"
@@ -58,6 +62,20 @@ _OUT_SCHEMA = pa.schema(
         ("crc32", pa.int64()),
     ]
 )
+
+
+def _key_str(v) -> str:
+    """Order-preserving string form of a block key value.
+
+    Non-negative ints zero-pad to 20 digits so lexicographic order equals
+    numeric order AND a plain CAST back to BIGINT recovers the value.
+    Other types (strings, dates, timestamps) stringify naturally ordered;
+    negative ints fall back to raw str (lexicographically unordered — use
+    a non-negative or string key for consistency-checked layouts).
+    """
+    if isinstance(v, bool) or not isinstance(v, int):
+        return str(v)
+    return f"{v:020d}" if v >= 0 else str(v)
 
 
 def _batch_cells(rb: pa.RecordBatch) -> int:
@@ -105,12 +123,12 @@ def encode_chunk_rows(
         if chunk.num_rows == 0:
             continue
         payload, meta = encode_batch(chunk)
-        first_key = str(chunk.column(0)[0].as_py())
+        first_key = _key_str(chunk.column(0)[0].as_py())
         key_min = key_max = None
         if key_col is not None:
             mm = pa.compute.min_max(chunk.column(key_col))
-            key_min = str(mm["min"].as_py())
-            key_max = str(mm["max"].as_py())
+            key_min = _key_str(mm["min"].as_py())
+            key_max = _key_str(mm["max"].as_py())
         seq = state["seq"]
         state["seq"] += 1
         ship_schema = schema_id not in emitted
