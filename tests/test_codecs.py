@@ -184,6 +184,53 @@ def test_pfor_beats_zebra_on_zipf_outliers():
     assert (zout == z).all()
 
 
+def test_alp_decimal_floats():
+    """Decimal-valued doubles (prices/rates) select ALP and shrink far
+    below the bit-cast packing; bit-exact incl. the scaled-int division."""
+    import numpy as np
+
+    from zebra_spark.codec.codecs import (
+        IntCodec,
+        decode_ints,
+        encode_ints,
+        skip_ints,
+        zebra_int_size,
+    )
+
+    rng = np.random.default_rng(5)
+    prices = np.round(rng.uniform(1, 100000, size=20000), 2)
+    v = prices.view(np.int64)
+    c, payload, meta = encode_ints(v, float_view=True)
+    assert c == IntCodec.ALP and meta["codec"] == "alp"
+    assert len(payload) < 0.5 * zebra_int_size(v)
+    out, p = decode_ints(c, payload, len(v), 0)
+    assert p == len(payload) and (out == v).all()
+    assert skip_ints(c, payload, len(v), 0) == len(payload)
+    # without the float hint the candidate is never offered
+    c2, _, _ = encode_ints(v)
+    assert c2 != IntCodec.ALP
+
+
+def test_alp_rejects_unrepresentable():
+    """NaN/inf/-0.0/non-decimal columns never select ALP; roundtrip holds."""
+    import numpy as np
+
+    from zebra_spark.codec.codecs import IntCodec, decode_ints, encode_ints
+
+    cases = [
+        np.array([0.0, -0.0] * 200),              # -0.0 breaks the bit check
+        np.array([np.nan, 1.5, 2.25] * 100),      # NaN
+        np.random.default_rng(2).normal(size=5000),  # full-mantissa values
+        np.array([1e300, 2.5e-300] * 100),        # out of 2^53 scaled range
+    ]
+    for f in cases:
+        v = f.view(np.int64)
+        c, payload, _ = encode_ints(v, float_view=True)
+        assert c != IntCodec.ALP
+        out, _ = decode_ints(c, payload, len(v), 0)
+        assert (out == v).all()
+
+
 def test_pfor_roundtrip_property():
     """Random mixtures incl. negative bases and huge outliers round-trip
     bit-identically whatever the selector picks."""

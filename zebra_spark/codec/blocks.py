@@ -218,7 +218,8 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
 
     if _int_kind(t) is not None:
         vals = _storage_int64(arr)
-        c, p, m = encode_ints(vals)
+        # float64 columns get the ALP decimal candidate (codecs.py)
+        c, p, m = encode_ints(vals, float_view=pa.types.is_float64(t))
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path, m)

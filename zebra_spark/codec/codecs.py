@@ -55,8 +55,17 @@ class IntCodec:
     DICT = 3
     DELTA = 4
     PFOR = 5  # patched FoR: fixed base width + exception list (Lemire 2012)
+    ALP = 6  # decimal floats as scaled ints (ALP, Afroozeh & Boncz 2023)
 
-    NAMES = {0: "zebra", 1: "constant", 2: "rle", 3: "dict", 4: "delta", 5: "pfor"}
+    NAMES = {
+        0: "zebra",
+        1: "constant",
+        2: "rle",
+        3: "dict",
+        4: "delta",
+        5: "pfor",
+        6: "alp",
+    }
 
 
 class StrCodec:
@@ -88,11 +97,17 @@ def _rle_split(values: np.ndarray):
     return run_values, run_lengths
 
 
-def encode_ints(values: np.ndarray, allow: set[int] | None = None):
+def encode_ints(
+    values: np.ndarray, allow: set[int] | None = None, float_view: bool = False
+):
     """Select + encode. Returns ``(codec_id, payload_bytes, meta_dict)``.
 
     ``meta_dict`` carries selector stats for the per-partition codec metrics
     required by the north rule.
+
+    ``float_view=True`` marks ``values`` as the bit-cast of a float64
+    column, enabling the ALP decimal candidate (pointless and skipped for
+    genuine integers).
 
     Costing reuses a single :class:`PackPlan` per candidate (one pass each)
     and the winner's plan assembles the payload without recomputation.
@@ -160,6 +175,12 @@ def encode_ints(values: np.ndarray, allow: set[int] | None = None):
                 size, thunk = pfor
                 candidates[IntCodec.PFOR] = (size, thunk)
 
+        if float_view and allowed(IntCodec.ALP) and n >= 64:
+            alp = _alp_build(values)
+            if alp is not None:
+                size, thunk = alp
+                candidates[IntCodec.ALP] = (size, thunk)
+
         if allowed(IntCodec.DELTA) and n >= 2:
             # first value kept out of the delta frame so a large base does
             # not widen the frame-of-reference of the (small) diffs
@@ -185,6 +206,54 @@ def encode_ints(values: np.ndarray, allow: set[int] | None = None):
     }
     meta.update(_column_stats(values, zplan))
     return codec, thunk(), meta
+
+
+def _alp_build(values_i64: np.ndarray):
+    """ALP decimal candidate for float64 columns: ``(size, thunk)`` or None.
+
+    Decimal-valued doubles (prices, rates, quantities) have near-random
+    mantissa bits, so bit-cast int packing gets almost nothing; writing
+    them as ``round(v * 10^e)`` scaled ints (ALP — Afroozeh & Boncz,
+    VLDB 2023) turns them into small integers the int-codec menu crushes.
+    Payload: ``u8 e | int_array(scaled)``.
+
+    Exactness is verified at encode per column: the candidate is offered
+    ONLY if ``(round(v*10^e) / 10^e)`` reproduces every input bit
+    (which also rejects NaN/inf/-0.0 and anything needing > 2^53).  The
+    decode side performs that same IEEE-exact division, so the roundtrip
+    law is structural, not probabilistic.
+    """
+    f = values_i64.view(np.float64)
+    n = len(f)
+    # cheap sample probe for a plausible exponent before full passes
+    sample = f[: min(n, 256)]
+    if not np.isfinite(sample).all():
+        return None
+    e_found = None
+    for e in range(0, 16):
+        scale = np.float64(10.0**e)
+        r = np.round(sample * scale)
+        if not (np.abs(r) < 2**53).all():
+            return None
+        if ((r / scale).view(_I64) == values_i64[: len(sample)]).all():
+            e_found = e
+            break
+    if e_found is None:
+        return None
+    for e in range(e_found, 16):  # sample's e may be too small for the rest
+        scale = np.float64(10.0**e)
+        with np.errstate(invalid="ignore", over="ignore"):
+            r = np.round(f * scale)
+            ok = np.isfinite(f).all() and (np.abs(r) < 2**53).all()
+            if not ok:
+                return None
+            if ((r / scale).view(_I64) == values_i64).all():
+                ints = r.astype(_I64)
+                plan = plan_int_array(ints)
+                return 1 + plan.size, (
+                    lambda e=e, plan=plan: bytes([e]) + pack_from_plan(plan)
+                )
+    return None
 
 
 def _pfor_build(values: np.ndarray, zplan):
@@ -347,6 +416,8 @@ def skip_ints(codec: int, buf, n: int, pos: int = 0) -> int:
         if n_exc:
             p = int_array_end(int_array_end(p))
         return p
+    if codec == IntCodec.ALP:
+        return int_array_end(pos + 1)
     raise ValueError(f"unknown int codec {codec}")
 
 
@@ -436,6 +507,12 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
             exc_vals, p = unpack_int_array(mv, n_exc, p)
             out[positions] = exc_vals
         return out, p
+    if codec == IntCodec.ALP:
+        e = mv[pos]
+        ints, p = unpack_int_array(mv, n, pos + 1)
+        # same IEEE-exact division the encoder verified bit-for-bit
+        floats = ints.astype(np.float64) / np.float64(10.0**e)
+        return floats.view(_I64).copy(), p
     raise ValueError(f"unknown int codec {codec}")
 
 
