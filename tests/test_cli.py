@@ -81,3 +81,21 @@ def test_cli_roundtrip_and_commands(spark, tmp_path, capsys):
     zs.main(["zread", "--inputs", ",".join(files), "--output", pq])
     r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r["rows"] == docs.count()
+
+
+def test_iceberg_adapter_gating(spark, tmp_path):
+    """Parquet fallback works; Iceberg-only features fail loudly without
+    the runtime (none in this container) instead of silently degrading."""
+    import pytest
+
+    from zebra_spark.sources.iceberg import has_iceberg, read_input
+
+    df = read_input(spark, "/root/testdata/sf0.001/orders.parquet")
+    assert df.count() == spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
+    assert has_iceberg(spark) is False
+    with pytest.raises(ValueError):  # time travel needs a table
+        read_input(spark, "/root/testdata/sf0.001/orders.parquet", snapshot_id=1)
+    with pytest.raises(NotImplementedError):
+        read_input(spark, "zs.db.tokens")

@@ -29,7 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument(
+        "--input", required=True,
+        help="input parquet path or Iceberg table name (catalog required)",
+    )
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="Iceberg snapshot to read (time travel)")
     ap.add_argument("--output", required=True, help="output blocks directory")
     ap.add_argument("--units", type=int, default=16, help="checkpoint work units")
     ap.add_argument("--rows-per-block", type=int, default=1 << 16)
@@ -53,7 +58,9 @@ def main():
         builder = builder.master(args.master)
     spark = builder.getOrCreate()
 
-    df = spark.read.parquet(args.input)
+    from zebra_spark.sources.iceberg import read_input
+
+    df = read_input(spark, args.input, snapshot_id=args.snapshot_id)
     if args.salt_col and args.salt_buckets:
         salt = F.pmod(F.xxhash64(*df.columns), F.lit(args.salt_buckets))
         df = df.repartition(F.col(args.salt_col), salt)
