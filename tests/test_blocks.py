@@ -175,9 +175,16 @@ def _batches(draw):
                 )
             )
         elif pa.types.is_floating(t):
+            # mix full-mantissa floats with decimal-valued ones so the ALP
+            # candidate gets exercised (and correctly declined) in-block
+            decimal = st.integers(-(10**7), 10**7).map(lambda i: i / 100.0)
             base = draw(
                 st.lists(
-                    st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+                    st.one_of(
+                        st.none(),
+                        st.floats(allow_nan=False, width=64),
+                        decimal,
+                    ),
                     min_size=n,
                     max_size=n,
                 )
@@ -202,6 +209,25 @@ def _batches(draw):
 @settings(max_examples=60, deadline=None)
 def test_random_batches_roundtrip(batch):
     roundtrip(batch)
+
+
+def test_alp_inside_blocks():
+    """A decimal-double column (with nulls) picks ALP inside the block walk
+    and round-trips bit-exactly."""
+    import json
+
+    from zebra_spark.codec.blocks import encode_batch
+
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.uniform(0, 1000, size=4000), 2).tolist()
+    vals[7] = None
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(vals, type=pa.float64())], names=["price"]
+    )
+    roundtrip(rb)
+    _, meta = encode_batch(rb)
+    codecs_used = json.dumps(meta)
+    assert "alp" in codecs_used
 
 
 def test_projection_pushdown_decode():
