@@ -150,6 +150,18 @@ def _q_embedding_near_dups(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, bits=4).select("id_a", "id_b")
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Connected components over exact near-dup pairs: the keeper-per-
+    CLUSTER step (pairs alone over-delete on transitive dups).  Min-label
+    propagation, exact recursive-CTE oracle."""
+    from zebra_spark.functions.dedup import dup_clusters
+    from zebra_spark.functions.similarity import cosine_pairs_exact
+
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    pairs = cosine_pairs_exact(emb, threshold=0.3).select("id_a", "id_b")
+    return dup_clusters(pairs, emb, vertex_col="vec_id")
+
+
 def _q_minhash(spark, sf_dir):
     from zebra_spark.functions.dedup import minhash_lsh_candidates
 
@@ -730,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lsh_ann_topk": _q_lsh_ann,
             "minhash_lsh": _q_minhash,
             "cosine_pairs_exact": _q_cosine_pairs_exact,
+            "dup_clusters": _q_dup_clusters,
             "embedding_near_dups": _q_embedding_near_dups,
             "simhash": _q_simhash,
             "ngram_jaccard": _q_ngram_jaccard,
@@ -973,6 +986,24 @@ def oracle_sql() -> dict[str, str]:
     # probing every IVF list is exhaustive == brute force -> same oracle
     sql["ivf_ann_exhaustive"] = sql["ann_topk"]
     sql["streaming_encode_roundtrip"] = "SELECT * FROM events"
+    sql["dup_clusters"] = (
+        "WITH RECURSIVE ev AS "
+        "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), "
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM ev a JOIN ev b ON a.vec_id < b.vec_id "
+        "WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        " sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) "
+        ">= 0.3), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM p "
+        "UNION SELECT id_b, id_a FROM p), "
+        "reach AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+        "comp AS (SELECT u, least(u, min(v)) AS cluster FROM reach GROUP BY u) "
+        "SELECT ev.vec_id, COALESCE(comp.cluster, ev.vec_id) AS cluster "
+        "FROM ev LEFT JOIN comp ON ev.vec_id = comp.u"
+    )
     sql["lang_id"] = (
         "SELECT doc_id, lang, CASE "
         "WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) / "

@@ -169,6 +169,29 @@ def test_minhash_sliced_equals_whole():
     assert (whole == sliced).all()
 
 
+def test_dup_clusters_transitive(spark):
+    """a~b, b~c (but not a~c) must land in ONE cluster labeled min(id);
+    chain graphs converge within the iteration bound; singletons keep
+    their own id."""
+    from zebra_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 6), (4, 5)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 99]], "vec_id long"
+    )
+    got = {r.vec_id: r.cluster for r in dup_clusters(pairs, vertices).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 10: 10, 11: 10, 99: 99}
+    # long chain: diameter > 1 still converges (label walks the chain)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 30)], "id_a long, id_b long"
+    )
+    cv = spark.createDataFrame([(i,) for i in range(20, 31)], "vec_id long")
+    got2 = {r.vec_id: r.cluster for r in dup_clusters(chain, cv).collect()}
+    assert set(got2.values()) == {20} and len(got2) == 11
+
+
 def test_cosine_near_dup_pairs_finds_planted(spark):
     """LSH-bucketed embedding near-dup: planted near-identical vectors land
     in the same bucket and survive the exact-cosine verify."""

@@ -225,3 +225,66 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
         )
     )
     return joined.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vertex_col: str = "vec_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (vertex, cluster) where
+    cluster = min vertex id reachable through the pair graph.
+
+    The step a training pipeline actually needs after candidate pairs:
+    pick ONE keeper per duplicate CLUSTER (pairs alone over-delete when
+    a~b, b~c but a!~c).  Min-label propagation (HashToMin): every round
+    each vertex takes the min of its own label and its neighbors' labels —
+    one broadcast-free equi-join + groupBy per round, converging in
+    O(graph diameter) rounds, which for near-dup graphs is tiny (dup
+    clusters are dense blobs).  Lineage is truncated per round with
+    localCheckpoint so the plan does not grow with iterations; rounds are
+    driver-bounded by ``max_iters`` and stop early at fixpoint.
+
+    Vertices absent from ``pairs`` form singleton clusters (cluster = own
+    id).  Exactly SQL-expressible (recursive CTE), so driver-verified.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(
+        F.col(vertex_col).alias("u"), F.col(vertex_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), on="v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="u", how="left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias(vertex_col), F.col("label").alias("cluster")
+    )
