@@ -150,6 +150,34 @@ def _q_embedding_near_dups(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, bits=4).select("id_a", "id_b")
 
 
+def _q_corpus_clean(spark, sf_dir):
+    """The composed training-data prep pipeline in one plan: quality gate
+    (length + whitespace ratio) -> exact-dup keeper (md5 groups, min id
+    wins) -> deterministic 50% sample — all scan-level or single-shuffle
+    stages, value-exact against the SQL oracle."""
+    from zebra_spark.functions.sampling import deterministic_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    length = F.length("text")
+    spaces = length - F.length(F.regexp_replace("text", r"\s", ""))
+    safe = F.when(length == 0, F.lit(1)).otherwise(length)
+    quality = docs.filter(
+        (F.col("n_chars") >= 50)
+        & ((spaces.cast("double") / safe.cast("double")) < 0.4)
+    )
+    from pyspark.sql import Window
+
+    w_keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    kept = (
+        quality.withColumn("__keeper", w_keep)
+        .filter(F.col("doc_id") == F.col("__keeper"))
+        .drop("__keeper")
+    )
+    return deterministic_sample(kept, rate=0.5, key_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def _q_dup_clusters(spark, sf_dir):
     """Connected components over exact near-dup pairs: the keeper-per-
     CLUSTER step (pairs alone over-delete on transitive dups).  Min-label
@@ -743,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "minhash_lsh": _q_minhash,
             "cosine_pairs_exact": _q_cosine_pairs_exact,
             "dup_clusters": _q_dup_clusters,
+            "corpus_clean": _q_corpus_clean,
             "embedding_near_dups": _q_embedding_near_dups,
             "simhash": _q_simhash,
             "ngram_jaccard": _q_ngram_jaccard,
@@ -986,6 +1015,17 @@ def oracle_sql() -> dict[str, str]:
     # probing every IVF list is exhaustive == brute force -> same oracle
     sql["ivf_ann_exhaustive"] = sql["ann_topk"]
     sql["streaming_encode_roundtrip"] = "SELECT * FROM events"
+    sql["corpus_clean"] = (
+        "WITH q AS (SELECT * FROM documents WHERE n_chars >= 50 AND "
+        "(length(text) - length(regexp_replace(text, '\\s', '', 'g'))) / "
+        "CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) "
+        "< 0.4), "
+        "k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper "
+        "FROM q) "
+        "SELECT doc_id, lang, source, n_chars FROM k WHERE doc_id = keeper AND "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) "
+        "AS BIGINT) < " + str(int(0.5 * (1 << 32)))
+    )
     sql["dup_clusters"] = (
         "WITH RECURSIVE ev AS "
         "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300), "
