@@ -577,6 +577,21 @@ def encode_strings(
             or (aggressive and avg_len >= 64)
         )
     )
+    if (
+        allowed(StrCodec.FSST)
+        and not (fsst_forced or fsst_worth or aggressive)
+        and len(concat) >= (64 << 10)
+        and avg_len >= 64
+    ):
+        # sampled probe: FSST costs ~100x snappy to run, so prove the win
+        # on the first 64 KB before paying for the full column.  Full FSST
+        # runs only when the sample beats the best candidate by >= 20%.
+        probe = _fsst.compress(concat[: 64 << 10])
+        if probe is not None:
+            best_ratio = len(best[1]) / (len(concat) + 8 * n)
+            if len(probe) / (64 << 10) < 0.8 * best_ratio:
+                fsst_worth = len(concat) <= (4 << 20)
+
     if allowed(StrCodec.FSST) and len(concat) >= 256 and (fsst_forced or fsst_worth):
         fs = _fsst.compress(concat)
         if fs is not None:
