@@ -223,3 +223,16 @@ def test_merge_null_scalar_is_deterministic(spark):
         merged, _ = merge_tables([b, a], ["k"])
         rows = {r["k"]: r["v"] for r in merged.collect()}
         assert rows == {1: 7, 2: 5}
+
+
+def test_key_str_total_order():
+    """Block key strings preserve full int64 order (incl. negatives)."""
+    import random
+
+    from zebra_spark.operators.encode import _key_str
+
+    rng = random.Random(13)
+    vals = [rng.randint(-(2**63), 2**63 - 1) for _ in range(5000)]
+    vals += [0, -1, 1, -(2**63), 2**63 - 1]
+    assert sorted(vals) == sorted(vals, key=_key_str)
+    assert int(_key_str(42)) == 42  # non-negatives CAST back exactly

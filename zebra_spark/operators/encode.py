@@ -69,13 +69,15 @@ def _key_str(v) -> str:
 
     Non-negative ints zero-pad to 20 digits so lexicographic order equals
     numeric order AND a plain CAST back to BIGINT recovers the value.
-    Other types (strings, dates, timestamps) stringify naturally ordered;
-    negative ints fall back to raw str (lexicographically unordered — use
-    a non-negative or string key for consistency-checked layouts).
+    Negative ints encode as '-' + zero-padded (10^20 + v): '-' sorts before
+    digits, and the offset complement makes more-negative sort first — full
+    int64 order preserved (CAST does NOT recover negatives; key ranges are
+    ordering metadata, the values live in the blocks).  Other types
+    (strings, dates, timestamps) stringify naturally ordered.
     """
     if isinstance(v, bool) or not isinstance(v, int):
         return str(v)
-    return f"{v:020d}" if v >= 0 else str(v)
+    return f"{v:020d}" if v >= 0 else f"-{10**20 + v:020d}"
 
 
 def _batch_cells(rb: pa.RecordBatch) -> int:
