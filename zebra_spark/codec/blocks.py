@@ -142,6 +142,17 @@ def _storage_int64(arr: pa.Array) -> np.ndarray:
     return pc.cast(arr, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
 
 
+_NP_INT = {
+    pa.int8().id: np.int8,
+    pa.int16().id: np.int16,
+    pa.int32().id: np.int32,
+    pa.int64().id: _I64,
+    pa.uint8().id: np.uint8,
+    pa.uint16().id: np.uint16,
+    pa.uint32().id: np.uint32,
+}
+
+
 def _from_storage_int64(vals: np.ndarray, t: pa.DataType, mask) -> pa.Array:
     """Rebuild an arrow array of type ``t`` from its int64 storage."""
     if pa.types.is_float64(t):
@@ -155,9 +166,16 @@ def _from_storage_int64(vals: np.ndarray, t: pa.DataType, mask) -> pa.Array:
     if pa.types.is_boolean(t):
         return pa.array(vals != 0, type=t, mask=mask)
     if pa.types.is_temporal(t):
+        # numpy downcast + direct construction: one pass instead of
+        # build-int64-arrow-then-cast (two passes; ~15% of decode time)
         storage = pa.int32() if t.bit_width == 32 else pa.int64()
-        arr = pa.array(vals, type=pa.int64(), mask=mask).cast(storage, safe=False)
-        return arr.view(t)
+        np_t = np.int32 if t.bit_width == 32 else _I64
+        return pa.array(
+            vals.astype(np_t, copy=False), type=storage, mask=mask
+        ).view(t)
+    np_t = _NP_INT.get(t.id)
+    if np_t is not None:
+        return pa.array(vals.astype(np_t, copy=False), type=t, mask=mask)
     arr = pa.array(vals, type=pa.int64(), mask=mask)
     return arr.cast(t, safe=False)
 
