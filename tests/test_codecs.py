@@ -249,3 +249,26 @@ def test_pfor_roundtrip_property():
         c, payload, _ = encode_ints(v)
         out, p = decode_ints(c, payload, n, 0)
         assert p == len(payload) and (out == v).all()
+
+
+def test_sampled_gates_keep_winners_at_scale():
+    """Above the gate threshold, slice estimates must keep delta (sorted)
+    and dict (low-cardinality) candidates in play — and stay bit-exact."""
+    import numpy as np
+
+    from zebra_spark.codec.codecs import IntCodec, decode_ints, encode_ints
+
+    n = 400_000
+    sorted_vals = np.cumsum(
+        np.random.default_rng(1).integers(0, 5, size=n)
+    ).astype(np.int64)
+    c, payload, _ = encode_ints(sorted_vals)
+    assert c == IntCodec.DELTA
+    out, _ = decode_ints(c, payload, n, 0)
+    assert (out == sorted_vals).all()
+
+    lowcard = np.random.default_rng(2).integers(0, 7, size=n).astype(np.int64) * 1000
+    c2, payload2, _ = encode_ints(lowcard)
+    assert c2 in (IntCodec.DICT, IntCodec.RLE, IntCodec.PFOR)
+    out2, _ = decode_ints(c2, payload2, n, 0)
+    assert (out2 == lowcard).all()

