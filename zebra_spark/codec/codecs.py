@@ -222,29 +222,28 @@ def encode_ints(
     return codec, thunk(), meta
 
 
-_GATE_SLICE = 1 << 14  # 16k values per slice, 64-aligned
-_GATE_FULL = 3 * _GATE_SLICE * 2  # below this, just plan exactly
+_GATE_SLICES = 16
+_GATE_SLICE = 1 << 12  # 4k values per slice, 64-aligned
+_GATE_FULL = _GATE_SLICES * _GATE_SLICE * 2  # below this, just plan exactly
 
 
 def _sampled_plan_bytes(values: np.ndarray) -> float:
-    """Estimated packed bytes/value from three 64-aligned slices (head,
-    middle, tail).  Optimistic on purpose (estimates can only SKIP a
-    candidate when clearly unpromising): the true per-chunk-adaptive size
-    is bounded below by the slice estimate minus sampling noise, so a
-    small 0.98 slack keeps borderline candidates in play.
+    """Estimated packed bytes/value from 16 evenly-spaced 64-aligned
+    slices.  Optimistic on purpose (estimates can only SKIP a candidate
+    when clearly unpromising): mixed-source columns have long cheap
+    stretches that few slices would miss (measured: head/mid/tail slices
+    over-estimated a sorted-heavy token column by 7%), so the slices are
+    stratified across the column and a 0.93 slack absorbs the residual
+    sampling error.  Skipping never breaks the <=zebra bound — the zebra
+    candidate is always present.
     """
     n = len(values)
     if n <= _GATE_FULL:
         return 0.0  # small: always plan exactly
-    mid = (n // 2) & ~63
-    sl = np.concatenate(
-        [
-            values[:_GATE_SLICE],
-            values[mid : mid + _GATE_SLICE],
-            values[n - _GATE_SLICE :],
-        ]
-    )
-    return 0.98 * plan_int_array(sl).size / len(sl)
+    step = (n - _GATE_SLICE) // (_GATE_SLICES - 1)
+    starts = (np.arange(_GATE_SLICES) * step) & ~63
+    sl = np.concatenate([values[s : s + _GATE_SLICE] for s in starts])
+    return 0.93 * plan_int_array(sl).size / len(sl)
 
 
 def _alp_build(values_i64: np.ndarray):
