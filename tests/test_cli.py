@@ -72,6 +72,11 @@ def test_cli_roundtrip_and_commands(spark, tmp_path, capsys):
     adf = decode_df(spark.read.parquet(adapted), resolve_schemas=True)
     assert "extra" in adf.columns
 
+    # verify: distributed audit over the stored blocks
+    zs.main(["verify", "--input", blocks_dir])
+    v = json.loads(capsys.readouterr().out.strip())
+    assert v["n_blocks"] == v["crc_ok"] == v["decode_ok"] >= 1
+
     # zwrite/zread binary container round-trip
     zdir = str(tmp_path / "zfiles")
     zs.main(["zwrite", "--input", blocks_dir, "--output", zdir])

@@ -13,6 +13,7 @@ binary `||ZEBRA||00003||` file container:
     python tools/zs.py adapt   --input blocks_dir --schema t.zschema \
                                --output blocks_dir2
     python tools/zs.py summary --input blocks_dir
+    python tools/zs.py verify  --input blocks_dir
     python tools/zs.py consistency --input blocks_dir
     python tools/zs.py zwrite  --input blocks_dir --output zfiles_dir
     python tools/zs.py zread   --inputs f1.zebra,f2.zebra --output parquet_dir
@@ -137,6 +138,31 @@ def cmd_consistency(args):
         sys.exit(1)
 
 
+def cmd_verify(args):
+    from pyspark.sql import functions as F
+
+    from zebra_spark.operators.verify import verify_blocks
+
+    spark = _spark(args)
+    blocks = spark.read.parquet(args.input)
+    r = (
+        verify_blocks(blocks)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.col("crc_ok").cast("long")).alias("crc_ok"),
+            F.sum(F.col("decode_ok").cast("long")).alias("decode_ok"),
+            F.sum(F.col("reencode_identical").cast("long")).alias(
+                "reencode_identical"
+            ),
+        )
+        .collect()[0]
+    )
+    print(json.dumps(r.asDict()))
+    if not (r["n_blocks"] == r["crc_ok"] == r["decode_ok"]):
+        sys.exit(1)
+
+
 def cmd_zwrite(args):
     from zebra_spark.operators.zfile import write_zebra_files
 
@@ -202,6 +228,10 @@ def main(argv=None):
     p = sub.add_parser("consistency", help="inter-block order check (exit 1 on violation)")
     p.add_argument("--input", required=True)
     p.set_defaults(fn=cmd_consistency)
+
+    p = sub.add_parser("verify", help="distributed block audit (exit 1 on corruption)")
+    p.add_argument("--input", required=True)
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("zwrite", help="blocks -> ||ZEBRA||00003|| binary files")
     p.add_argument("--input", required=True)
