@@ -152,3 +152,24 @@ def test_byte_array_paths():
     for data in (b"", b"x", b"ab" * 500_000, np.random.default_rng(3).bytes(100_000)):
         out, _ = unpack_byte_array(pack_byte_array(data), len(data))
         assert out == data
+
+
+def test_full_range_int64_chunk_roundtrip():
+    """Values spanning INT64_MIN..INT64_MAX in one full 64-chunk: zigzag
+    deltas land within ~1 ulp of 2^64 where the float64 bit-length estimate
+    reads 65 — the repair must clamp to 64 (shift by 64 is UB for uint64)
+    and the roundtrip must stay bit-identical."""
+    xs = np.array(
+        [np.iinfo(np.int64).min, np.iinfo(np.int64).max] * 32, dtype=np.int64
+    )
+    assert len(xs) == 64  # exactly one packed chunk, no remainder
+    out, _ = unpack_int_array(pack_int_array(xs), len(xs))
+    np.testing.assert_array_equal(out, xs)
+    # near-full-range magnitudes around the 2^63 boundary, full chunk
+    hi = np.iinfo(np.int64).max
+    xs2 = np.array([0, hi, -hi - 1, hi - 1, -hi, 1, -1, hi] * 8, dtype=np.int64)
+    out2, _ = unpack_int_array(pack_int_array(xs2), len(xs2))
+    np.testing.assert_array_equal(out2, xs2)
+    # direct bit_length64 check at the repair boundary
+    vals = np.array([2**64 - 1, 2**64 - 1024, 2**63, 2**63 - 1], dtype=np.uint64)
+    assert bit_length64(vals).tolist() == [64, 64, 64, 63]

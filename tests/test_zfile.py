@@ -172,3 +172,37 @@ def test_spark_zebra_file_roundtrip(spark, tmp_path):
     assert sum(r["n_rows"] for r in manifest) == 500
     back = read_zebra_files(spark, [r["path"] for r in manifest])
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+def test_map_keys_sorted_and_dups_rejected():
+    """zebra maps are strictly-ascending, duplicate-free per row
+    (Striped.hs:572-591); Spark maps carry no ordering, so the writer must
+    sort entries by key and refuse duplicates."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+    ])
+    rb = pa.RecordBatch.from_pydict(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "m": pa.array(
+                [[("z", 1), ("a", 2)], [("b", 3)]],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+        }
+    )
+    _, table = read_zebra_stream(write_zebra_stream(iter([rb]), schema))
+    assert table.column("m").to_pylist() == [
+        [("a", 2), ("z", 1)],
+        [("b", 3)],
+    ]
+    dup = pa.RecordBatch.from_pydict(
+        {
+            "k": pa.array([1], pa.int64()),
+            "m": pa.array(
+                [[("a", 1), ("a", 2)]], pa.map_(pa.string(), pa.int64())
+            ),
+        }
+    )
+    with pytest.raises(ValueError, match="StripedMapDuplicateKeys"):
+        write_zebra_stream(iter([dup]), schema)

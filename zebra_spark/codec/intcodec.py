@@ -101,6 +101,10 @@ def bit_length64(v: np.ndarray) -> np.ndarray:
     if big.any():
         vb = v[big]
         eb = bits[big]
+        # values within half-ulp below 2^64 round UP in float64, giving an
+        # estimate of 65; bit length there is necessarily 64, and a shift by
+        # 64 is undefined for uint64 — clamp before the shift-compare.
+        eb = np.minimum(eb, 64)
         over = np.right_shift(vb, (eb - 1).astype(_U64)) == 0
         eb[over] -= 1
         bits[big] = eb

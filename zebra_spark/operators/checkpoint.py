@@ -52,31 +52,52 @@ def checkpointed_encode(
     unit_cols: Sequence[str],
     n_units: int = 16,
     rows_per_block: int = 1 << 16,
+    units_per_commit: int | None = None,
     fail_after_units: int | None = None,
 ) -> list[int]:
-    """Encode all missing units in ONE pass over the input.
+    """Encode all missing units, committing in bounded batches.
 
-    Plan shape (scale-safe): filter-to-missing-units (the anti-join against
-    the committed manifest) -> one shuffle keyed by ``__unit`` -> grouped
-    encode (no block spans units) -> ``write.partitionBy("unit")`` with
-    dynamic partition overwrite -> per-unit commit markers.  One scan of the
-    input regardless of how many units remain — the previous per-unit loop
-    rescanned the input n_units times, which cannot work at 100 TB.
+    Plan shape per batch (scale-safe): filter-to-missing-units (the
+    anti-join against the committed manifest) -> one shuffle keyed by
+    ``__unit`` -> grouped encode (no block spans units) ->
+    ``write.partitionBy("unit")`` with dynamic partition overwrite ->
+    per-unit commit markers.
+
+    COMMIT GRANULARITY: the commit unit is a BATCH of ``units_per_commit``
+    units (one Spark write job per batch, markers written after that job
+    succeeds) — a mid-run crash preserves every completed batch and the
+    resume anti-joins the committed manifest.  The default
+    ``units_per_commit=None`` writes ALL missing units in one job (one input
+    scan, fastest clean run, but a crash commits nothing from that
+    invocation).  Each batch costs one pass over the input, so incremental
+    durability trades scans for resumability: ``ceil(missing /
+    units_per_commit)`` scans per run.  Pick batch size so one batch is
+    ~10-30 min of cluster work.
 
     Parallelism note: rows of a unit land in one task, so pick
     ``n_units >> executor count`` in production (units are resume
     granularity, not a parallelism cap).
 
     Returns the list of units committed by THIS run.  ``fail_after_units``
-    injects a crash after N unit commits (tests).  Resume = call again with
-    the same arguments; committed units are skipped.
+    injects a crash once that many units have committed (tests); it
+    defaults ``units_per_commit`` to the same value so the injected state
+    is exactly the organic crash-between-batches state.  Resume = call
+    again with the same arguments; committed units are skipped.
     """
     done = set(committed_units(out_dir))
     todo = [u for u in range(n_units) if u not in done]
-    write_units = todo if fail_after_units is None else todo[:fail_after_units]
-    if write_units:
-        tagged = unit_of(df, unit_cols, n_units)
-        part = tagged.filter(F.col("__unit").isin(write_units))
+    if units_per_commit is None:
+        units_per_commit = fail_after_units if fail_after_units else len(todo)
+    units_per_commit = max(1, units_per_commit)
+    committed_now: list[int] = []
+    tagged = unit_of(df, unit_cols, n_units)
+    for start in range(0, len(todo), units_per_commit):
+        if fail_after_units is not None and len(committed_now) >= fail_after_units:
+            raise RuntimeError(
+                f"injected failure after {len(committed_now)} of {len(todo)} units"
+            )
+        batch = todo[start : start + units_per_commit]
+        part = tagged.filter(F.col("__unit").isin(batch))
         part = part.repartition(F.col("__unit"))
         blocks = encode_df(
             part, rows_per_block=rows_per_block, group_col="__unit"
@@ -89,15 +110,16 @@ def checkpointed_encode(
         )
         # the job succeeded atomically for everything it wrote; mark each
         # unit committed (on Iceberg this is the snapshot commit instead)
-        for u in write_units:
+        for u in batch:
             unit_dir = os.path.join(out_dir, f"unit={u}")
             os.makedirs(unit_dir, exist_ok=True)  # empty unit: marker only
             open(os.path.join(unit_dir, "_SUCCESS"), "w").close()
-    if fail_after_units is not None and len(write_units) < len(todo):
+        committed_now.extend(batch)
+    if fail_after_units is not None and len(committed_now) < len(todo):
         raise RuntimeError(
-            f"injected failure after {len(write_units)} of {len(todo)} units"
+            f"injected failure after {len(committed_now)} of {len(todo)} units"
         )
-    return write_units
+    return committed_now
 
 
 def read_checkpointed_blocks(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -72,6 +72,33 @@ def _ints(arr: pa.Array) -> np.ndarray:
     return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
+def _sorted_map_entries(entries: pa.Array, lengths: np.ndarray, what: str) -> pa.Array:
+    """Enforce zebra's per-row strictly-ascending, duplicate-free map-key
+    invariant (Striped.hs:572-591): Spark map columns carry no ordering
+    guarantee, so entries are sorted by key per row at write time and
+    duplicate keys are rejected (StripedMapDuplicateKeys)."""
+    if len(entries) == 0:
+        return entries
+    row_ids = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    tbl = pa.table({"row": row_ids, "key": entries.field(0)})
+    idx = pa.compute.sort_indices(
+        tbl, sort_keys=[("row", "ascending"), ("key", "ascending")]
+    )
+    entries = entries.take(idx)
+    keys = entries.field(0)
+    if len(keys) > 1:
+        same_row = row_ids[1:] == row_ids[:-1]  # row_ids already sorted
+        eq = pa.compute.equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        dup = same_row & eq.to_numpy(zero_copy_only=False)
+        if dup.any():
+            raise ValueError(
+                f"StripedMapDuplicateKeys: duplicate map key within a row "
+                f"at {what} (zebra maps are strictly ascending, "
+                "Striped.hs:572-591)"
+            )
+    return entries
+
+
 def _is_enum(dtype: T.StructType, md: dict | None) -> list | None:
     """Variant layout for an enum struct: from zebra.enum metadata, else
     inferred from the struct shape (tag + v_* fields, no unit variants)."""
@@ -123,7 +150,7 @@ def _encode_column(out: list, arr: pa.Array, dtype: T.DataType, md: dict | None,
             pa.list_(pa.struct([("key", arr.type.key_type), ("value", arr.type.item_type)]))
         )
         lengths = _ints(pa.compute.list_value_length(as_list))
-        entries = as_list.flatten()
+        entries = _sorted_map_entries(as_list.flatten(), lengths, what)
         out.append(pack_int_array(lengths))
         out.append(np.uint32(len(entries)).astype("<u4").tobytes())
         _encode_column(out, entries.field(0), dtype.keyType, None, f"{what}.key")
