@@ -202,6 +202,122 @@ def _q_simhash(spark, sf_dir):
     return simhash(_load(spark, sf_dir, "documents"))
 
 
+def _q_reversed_latest_wins(spark, sf_dir):
+    """Factset-style 'latest wins' using a Reversed key: the ts field
+    carries zebra.reversed metadata, the engine's Reversed-aware ordering
+    (merge.sort_exprs; Logical.hs:552-556 — Reversed flips comparison) puts
+    the LATEST fact first per entity, and rank-1 selection keeps it."""
+    from pyspark.sql import Window
+
+    from zebra_spark.operators.merge import REVERSED_META, sort_exprs
+
+    ev = _load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        F.col("ts").alias("ts", metadata={REVERSED_META: True}),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        *sort_exprs(tagged.schema, ["ts", "event_id"])
+    )
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("latest_ts"),
+            F.col("event_type").alias("latest_type"),
+            F.col("value").alias("latest_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q_map_merge(spark, sf_dir):
+    """Logical.mergeMaps driver verification: per-user event_type->count
+    maps built from the two halves of the events table merge with ordered
+    map-union semantics — first writer wins on key collisions
+    (Logical.hs:260-261).  Output is the entry list sorted by key (map
+    columns cannot be hashed/set-compared; entries can)."""
+    from zebra_spark.operators.merge import merge_tables
+
+    ev = _load(spark, sf_dir, "events")
+
+    def half(parity: int):
+        return (
+            ev.filter(F.col("event_id") % 2 == parity)
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("c"))
+            .groupBy("user_id")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("event_type", "c")))
+                ).alias("m")
+            )
+        )
+
+    merged, _ = merge_tables([half(0), half(1)], ["user_id"])
+    return merged.select(
+        "user_id", F.array_sort(F.map_entries("m")).alias("entries")
+    ).orderBy("user_id")
+
+
+def _q_utf8_reject_count(spark, sf_dir):
+    """UTF-8 rejection surfaced as a counted-errors query: binary payloads
+    with injected invalid bytes (every 7th doc becomes a lone 0xFF — never
+    valid UTF-8) are validated JVM-side (is_valid_utf8, the same check
+    decode applies to utf8-annotated binary) and rejects are counted per
+    lang."""
+    docs = _load(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(bytes([0xFF])))
+        .otherwise(F.encode("text", "utf-8"))
+    )
+    return (
+        docs.select("lang", payload.alias("b"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.expr("is_valid_utf8(b)"), 0).otherwise(1)).alias(
+                "n_invalid"
+            ),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_lsh_ann_exhaustive(spark, sf_dir):
+    """Degenerate-exhaustive LSH config, exactly oracle-able: bits=1 with
+    Hamming-1 multiprobe probes BOTH buckets, so the candidate set is the
+    whole corpus and the result must equal brute force (the
+    ivf_ann_exhaustive pattern) — while still exercising the real LSH path:
+    hyperplane signatures, probe explode, bucket equi-join, ranking."""
+    from zebra_spark.functions.similarity import lsh_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return lsh_ann_topk(emb, queries, k=5, bits=1, multiprobe=1).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_minhash_md5(spark, sf_dir):
+    from zebra_spark.functions.dedup import minhash_lsh_md5
+
+    return minhash_lsh_md5(_load(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard_exact(spark, sf_dir):
+    from zebra_spark.functions.dedup import ngram_jaccard_enumerated
+
+    return ngram_jaccard_enumerated(_load(spark, sf_dir, "documents"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from zebra_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -501,21 +617,59 @@ def _q_projection_pushdown(spark, sf_dir):
 
 
 def _q_ztxt_roundtrip(spark, sf_dir):
-    """zebra import/export CLI parity: rows -> line-JSON + .zschema sidecar
-    -> re-import with the zebra-format schema (no inference) -> identical
-    rows (Import.hs:63-76 / Export.hs:114-143)."""
-    import os
+    """zebra's OWN text value codec (Json/Logical.hs:91-290), enum-bearing:
+    an option enum (none|some:int, single-key variant objects in the text),
+    a zebra date column (rendered 'YYYY-MM-DD', re-parsed to epoch days)
+    and utf8 text go DataFrame -> .ztxt render -> parse -> identical values.
+    The same pipeline passes the reference's golden import cases t01-t04
+    verbatim (tests/test_ztxt.py)."""
     import shutil
     import tempfile
 
-    from zebra_spark.operators.textio import export_json, import_json
+    from pyspark.sql import functions as F
+
+    from zebra_spark.operators.zschema import (
+        ENCODING_META,
+        ENUM_META,
+        enum_layout_meta,
+        struct_to_zschema,
+    )
+    from zebra_spark.operators.ztxt import read_ztxt, write_ztxt_file
 
     docs = _load(spark, sf_dir, "documents")
+    enum_md = {ENUM_META: enum_layout_meta([["none", True], ["some", False]])}
+    df = docs.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        # option enum: none when doc_id%3==0, some(n_chars) otherwise —
+        # non-selected variants hold the materialized default (fromVariant)
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(0)).otherwise(1)
+            .cast("long").alias("tag"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(0)).otherwise(F.col("n_chars"))
+            .cast("long").alias("v_some"),
+        ).alias("opt", metadata=enum_md),
+        # a zebra date: n_chars days since 1600-03-01, renders as a calendar
+        # string in the text and must come back as the same day count
+        F.col("n_chars").cast("long").alias("d", metadata={ENCODING_META: "date"}),
+    )
+    node = struct_to_zschema(df.schema)
     out = tempfile.mkdtemp(prefix="zs_ztxt_")
     try:
-        export_json(docs, out)
-        os.remove(os.path.join(out, "_schema.json"))  # force the .zschema path
-        return import_json(spark, out).localCheckpoint()
+        path = f"{out}/table.ztxt"
+        write_ztxt_file(df, path, node)
+        with open(f"{out}/table.zschema", "w") as f:
+            import json as _json
+
+            f.write(_json.dumps({"version": "v0", "schema": node}))
+        back = read_ztxt(spark, path, open(f"{out}/table.zschema").read())
+        return back.select(
+            "doc_id",
+            "lang",
+            F.col("opt.tag").alias("opt_tag"),
+            F.col("opt.v_some").alias("opt_some"),
+            F.col("d").alias("date_days"),
+        ).localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -769,6 +923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk": _q_ann_topk,
             "lsh_ann_topk": _q_lsh_ann,
             "minhash_lsh": _q_minhash,
+            "lsh_ann_exhaustive": _q_lsh_ann_exhaustive,
+            "reversed_latest_wins": _q_reversed_latest_wins,
+            "map_merge": _q_map_merge,
+            "utf8_reject_count": _q_utf8_reject_count,
+            "minhash_lsh_md5": _q_minhash_md5,
+            "ngram_jaccard_exact": _q_ngram_jaccard_exact,
             "cosine_pairs_exact": _q_cosine_pairs_exact,
             "dup_clusters": _q_dup_clusters,
             "corpus_clean": _q_corpus_clean,
@@ -920,7 +1080,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "projection_pushdown": "SELECT doc_id, lang FROM documents",
-        "ztxt_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "ztxt_roundtrip": (
+            "SELECT doc_id, lang, "
+            "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS opt_tag, "
+            "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE n_chars END AS opt_some, "
+            "n_chars AS date_days FROM documents"
+        ),
         "zebra_file_roundtrip": "SELECT * FROM orders",
         "blocks_summary": (
             "SELECT COUNT(*) AS total_rows, TRUE AS capped, "
@@ -947,6 +1112,82 @@ def oracle_sql() -> dict[str, str]:
             "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
             " sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) "
             ">= 0.3 ORDER BY id_a, id_b"
+        ),
+        "reversed_latest_wins": (
+            "SELECT user_id, ts AS latest_ts, event_type AS latest_type, "
+            "value AS latest_value FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "    ORDER BY ts DESC, event_id ASC) AS rn FROM events) "
+            "WHERE rn = 1 ORDER BY user_id"
+        ),
+        # mergeMaps: ordered union, FIRST writer (frame a) wins collisions
+        "map_merge": (
+            "WITH a AS (SELECT user_id, event_type, COUNT(*) AS c FROM events "
+            "  WHERE event_id % 2 = 0 GROUP BY user_id, event_type), "
+            "b AS (SELECT user_id, event_type, COUNT(*) AS c FROM events "
+            "  WHERE event_id % 2 = 1 GROUP BY user_id, event_type), "
+            "u AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id, "
+            "  COALESCE(a.event_type, b.event_type) AS event_type, "
+            "  COALESCE(a.c, b.c) AS c "
+            "FROM a FULL OUTER JOIN b ON a.user_id = b.user_id "
+            "  AND a.event_type = b.event_type) "
+            "SELECT user_id, list(struct_pack(key := event_type, value := c) "
+            "  ORDER BY event_type) AS entries "
+            "FROM u GROUP BY user_id ORDER BY user_id"
+        ),
+        "utf8_reject_count": (
+            "SELECT lang, "
+            "CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid, "
+            "COUNT(*) AS n_total FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        # exhaustive LSH (bits=1 + multiprobe covers both buckets) must
+        # equal brute force — same oracle as ann_topk
+        "lsh_ann_exhaustive": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "
+            "WHERE vec_id < 10), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  list_sum(list_transform(list_zip(q.qvec, e.embedding), "
+            "    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            "  (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "   sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) "
+            "  AS cos_sim "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank "
+            "FROM scored) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked "
+            "WHERE rank <= 5 ORDER BY query_id, rank"
+        ),
+        # md5 minhash: 56-bit ints from the md5 hex prefix, min fold per
+        # salted hash, 2 bands of 2 — signatures AND band buckets exact
+        "minhash_lsh_md5": (
+            "WITH sh AS (SELECT doc_id, "
+            "  list_transform(range(1, greatest(length(text)-3, 2)), i -> substr(text, i, 5)) AS g "
+            "FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_min(list_transform(g, x -> CAST(concat('0x', substr(md5(concat('h0:', x)), 1, 14)) AS BIGINT))) AS s0, "
+            "  list_min(list_transform(g, x -> CAST(concat('0x', substr(md5(concat('h1:', x)), 1, 14)) AS BIGINT))) AS s1, "
+            "  list_min(list_transform(g, x -> CAST(concat('0x', substr(md5(concat('h2:', x)), 1, 14)) AS BIGINT))) AS s2, "
+            "  list_min(list_transform(g, x -> CAST(concat('0x', substr(md5(concat('h3:', x)), 1, 14)) AS BIGINT))) AS s3 "
+            "FROM sh) "
+            "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+            "FROM s l JOIN s r ON l.doc_id < r.doc_id "
+            "AND ((l.s0 = r.s0 AND l.s1 = r.s1) OR (l.s2 = r.s2 AND l.s3 = r.s3)) "
+            "ORDER BY doc_a, doc_b"
+        ),
+        # char-4-gram Jaccard over the enumerated candidate set doc_id<40
+        "ngram_jaccard_exact": (
+            "WITH g AS (SELECT doc_id, "
+            "  list_distinct(list_transform(range(1, greatest(length(text)-2, 2)), "
+            "    i -> substr(text, i, 4))) AS g "
+            "FROM documents WHERE doc_id < 40) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / "
+            "  CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / "
+            "  CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.05 "
+            "ORDER BY doc_a, doc_b"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings "

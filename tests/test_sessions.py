@@ -50,3 +50,23 @@ def test_sessionize_gap_semantics(spark):
         (2, 1, 2, int((30 * m + g).total_seconds() * 1e6)),
         (3, 1, 2, int((g + 30 * m - dt.timedelta(seconds=1)).total_seconds() * 1e6)),
     }
+
+
+def test_sessionize_hot_key_cap(spark):
+    """max_events_per_key: a bot key above the cap is dropped ENTIRELY and
+    counted (MaximumRowSize drop-and-account, Merge/Table.hs:157-163);
+    normal keys are untouched."""
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [(99, t0 + i * s) for i in range(500)]  # bot: 500 events
+    rows += [(1, t0), (1, t0 + 5 * s), (2, t0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sess, dropped = sessionize(
+        df, gap="30 minutes", max_events_per_key=100, with_metrics=True
+    )
+    got = {(r.user_id, r.n_events) for r in sess.collect()}
+    assert got == {(1, 2), (2, 1)}  # bot user fully excluded
+    d = dropped.collect()
+    assert [(r.user_id, r.n_events) for r in d] == [(99, 500)]
+    # uncapped: everything sessionizes
+    assert sessionize(df, gap="30 minutes").count() == 3

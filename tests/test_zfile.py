@@ -100,7 +100,7 @@ def test_temporal_rebase_to_1600_epoch():
 
 
 def test_enum_striping_in_file():
-    from zebra_spark.operators.zschema import ENUM_META
+    from zebra_spark.operators.zschema import ENUM_META, enum_layout, enum_layout_meta
 
     e = pa.StructArray.from_arrays(
         [
@@ -120,13 +120,13 @@ def test_enum_striping_in_file():
                         T.StructField("v_some", T.StringType()),
                     ]
                 ),
-                metadata={ENUM_META: [["none", True], ["some", False]]},
+                metadata={ENUM_META: enum_layout_meta([["none", True], ["some", False]])},
             )
         ]
     )
     data = write_zebra_stream(iter([rb]), schema)
     got_schema, table = read_zebra_stream(data)
-    assert got_schema["opt"].metadata[ENUM_META] == [["none", True], ["some", False]]
+    assert enum_layout(got_schema["opt"].metadata[ENUM_META]) == [["none", True], ["some", False]]
     assert table.column("opt").to_pylist() == [
         {"tag": 0, "v_some": ""},
         {"tag": 1, "v_some": "x"},
@@ -206,3 +206,120 @@ def test_map_keys_sorted_and_dups_rejected():
     )
     with pytest.raises(ValueError, match="StripedMapDuplicateKeys"):
         write_zebra_stream(iter([dup]), schema)
+
+
+def test_streaming_read_memory_bounded(tmp_path):
+    """Peak reader memory is one block + chunk, independent of file size
+    (the r2 whole-file read is gone)."""
+    import io
+
+    from zebra_spark.operators.zfile import open_zebra_stream
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    batches = [
+        pa.RecordBatch.from_pydict(
+            {"k": pa.array(list(range(i * 500, (i + 1) * 500)), pa.int64()),
+             "s": pa.array([f"row-{j}" * 8 for j in range(500)], pa.string())}
+        )
+        for i in range(100)
+    ]
+    path = tmp_path / "big.zebra"
+    with open(path, "wb") as f:
+        n = write_zebra_stream(iter(batches), schema, fileobj=f)
+    assert n == path.stat().st_size and n > 400_000
+    with open(path, "rb") as f:
+        _, blocks, rd = open_zebra_stream(f, chunk_bytes=4096)
+        total = sum(b.num_rows for b in blocks)
+    assert total == 50_000
+    # one block here is ~6-8 KB encoded; buffer must stay near block+chunk,
+    # far below the full file size
+    assert rd.max_buffered < 64 << 10, rd.max_buffered
+    # bytes-mode write identical to streamed write
+    data = write_zebra_stream(iter(batches), schema)
+    assert data == path.read_bytes()
+
+
+def test_binary_table_roundtrip():
+    """Top-level Binary table: rows are BYTES (u32 row count IS the byte
+    count, Serial/Binary/Table.hs:38-44)."""
+    from zebra_spark.operators.zschema import BINARY_TABLE_META
+
+    schema = T.StructType([
+        T.StructField("value", T.StringType(), False, {BINARY_TABLE_META: True})
+    ])
+    text = "zebra is a typed data format.\nBinary tables are raw bytes.\n"
+    rb = pa.RecordBatch.from_pydict({"value": pa.array([text], pa.string())})
+    data = write_zebra_stream(iter([rb]), schema)
+    # header declares a binary table with utf8 encoding
+    header, pos = unpack_sized_byte_array(memoryview(data), 16)
+    js = json.loads(header.decode())
+    assert js == {"binary": {"default": {"allow": {}}, "encoding": {"utf8": {}}}}
+    # block: u32 row count == byte count
+    n = int(np.frombuffer(data[pos : pos + 4], dtype="<u4")[0])
+    assert n == len(text.encode())
+    got_schema, table = read_zebra_stream(data)
+    assert (got_schema.fields[0].metadata or {}).get(BINARY_TABLE_META)
+    assert table.column("value").to_pylist() == [text]
+
+
+def test_map_table_roundtrip_and_order_enforced():
+    """Top-level Map table: key column + value column walk, strictly
+    ascending dup-free keys (Serial/Binary/Table.hs:46-64)."""
+    from zebra_spark.operators.zschema import MAP_TABLE_META
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False, {MAP_TABLE_META: True}),
+        T.StructField("value", T.StringType()),
+    ])
+    rb = pa.RecordBatch.from_pydict(
+        {"key": pa.array([1, 5, 9], pa.int64()),
+         "value": pa.array(["a", "b", "c"], pa.string())}
+    )
+    data = write_zebra_stream(iter([rb]), schema)
+    header, _ = unpack_sized_byte_array(memoryview(data), 16)
+    assert "map" in json.loads(header.decode())
+    got_schema, table = read_zebra_stream(data)
+    assert (got_schema.fields[0].metadata or {}).get(MAP_TABLE_META)
+    assert table.column("key").to_pylist() == [1, 5, 9]
+    assert table.column("value").to_pylist() == ["a", "b", "c"]
+    bad = pa.RecordBatch.from_pydict(
+        {"key": pa.array([5, 1], pa.int64()), "value": pa.array(["a", "b"])}
+    )
+    with pytest.raises(ValueError, match="StripedMapNotSorted"):
+        write_zebra_stream(iter([bad]), schema)
+    dup = pa.RecordBatch.from_pydict(
+        {"key": pa.array([3, 3], pa.int64()), "value": pa.array(["a", "b"])}
+    )
+    with pytest.raises(ValueError, match="StripedMapDuplicateKeys"):
+        write_zebra_stream(iter([dup]), schema)
+
+
+def test_seconds_milliseconds_time_writes():
+    """int+time seconds/milliseconds columns (zebra-epoch counts carried as
+    LongType + zebra.encoding metadata) write headers declaring the exact
+    interval and roundtrip unchanged (Encoding.hs:57-63)."""
+    from zebra_spark.operators.zschema import ENCODING_META
+
+    schema = T.StructType([
+        T.StructField("t_s", T.LongType(), False,
+                      {ENCODING_META: "time_seconds"}),
+        T.StructField("t_ms", T.LongType(), False,
+                      {ENCODING_META: "time_milliseconds"}),
+    ])
+    rb = pa.RecordBatch.from_pydict(
+        {"t_s": pa.array([0, 13154186096], pa.int64()),
+         "t_ms": pa.array([0, 13154186096789], pa.int64())}
+    )
+    data = write_zebra_stream(iter([rb]), schema)
+    header, _ = unpack_sized_byte_array(memoryview(data), 16)
+    js = json.loads(header.decode())
+    fields = js["array"]["element"]["struct"]["fields"]
+    assert fields[0]["schema"]["int"]["encoding"] == {
+        "time": {"interval": {"seconds": {}}}}
+    assert fields[1]["schema"]["int"]["encoding"] == {
+        "time": {"interval": {"milliseconds": {}}}}
+    got_schema, table = read_zebra_stream(data)
+    assert got_schema["t_s"].metadata[ENCODING_META] == "time_seconds"
+    assert table.column("t_s").to_pylist() == [0, 13154186096]
+    assert table.column("t_ms").to_pylist() == [0, 13154186096789]

@@ -70,7 +70,8 @@ def test_parse_option_enum_table():
     score = schema["score"]
     assert isinstance(score.dataType, T.StructType)
     assert [f.name for f in score.dataType.fields] == ["tag", "v_some"]
-    assert score.metadata[ENUM_META] == [["none", True], ["some", False]]
+    from zebra_spark.operators.zschema import enum_layout
+    assert enum_layout(score.metadata[ENUM_META]) == [["none", True], ["some", False]]
     assert score.metadata[DEFAULT_META] == "deny"
     assert isinstance(schema["entity_id"].dataType, T.StringType)
     assert schema["when"].metadata[ENCODING_META] == "time_seconds"

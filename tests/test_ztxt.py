@@ -1,0 +1,158 @@
+"""Reference golden-file tests for the ztxt value codec.
+
+Feeds `zebra-cli/test/cli/import/t0{1-4}*/input.{ztxt,zschema}` VERBATIM
+through tools/zs.py import -> export -> summary and compares against the
+reference's own `expected` files — the same pipeline the reference's CLI
+test scripts run (t0*/script).
+
+Comparison is semantic where the reference's rendering is non-semantic:
+JSON lines compare decoded (aeson emits its internal hash-map key order,
+we emit sorted keys), dates/times/base64/enum-variants compare as the
+exact strings INSIDE the JSON values.  Binary tables compare byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+
+import pytest
+
+import tools.zs as zs
+from zebra_spark.operators.ztxt import (
+    parse_zdate,
+    parse_ztime,
+    render_zdate,
+    render_ztime,
+)
+
+GOLDEN_ROOT = "/root/reference/zebra-cli/test/cli/import"
+CASES = ["t01-array", "t02-map", "t03-binary", "t04-time"]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_ROOT), reason="reference golden files not present"
+)
+
+
+def _parse_expected(path: str):
+    """Split an `expected` file into (schema_json, data_text, summary_dict)."""
+    text = open(path).read()
+    schema_part = text.split("=== Schema ===", 1)[1].split("=== Data ===", 1)[0]
+    data_part = text.split("=== Data ===", 1)[1].split("=== Summary ===", 1)[0]
+    summary_part = text.split("=== Summary ===", 1)[1]
+    summary = {}
+    for ln in summary_part.strip().splitlines():
+        k, v = ln.split("=", 1)
+        summary[k.strip()] = v.strip()
+    return json.loads(schema_part), data_part.strip("\n"), summary
+
+
+def _run(argv: list[str]) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        zs.main(["--master", "local[2]"] + argv)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_reference_golden_import_export_summary(spark, tmp_path, case):
+    base = f"{GOLDEN_ROOT}/{case}"
+    blocks = str(tmp_path / "blocks")
+    _run([
+        "import", "--input", f"{base}/input.ztxt",
+        "--schema", f"{base}/input.zschema", "--output", blocks,
+    ])
+    exp_schema, exp_data, exp_summary = _parse_expected(f"{base}/expected")
+
+    # --- schema: zebra export --schema-stdout
+    got_schema = json.loads(_run(["export", "--input", blocks, "--schema-stdout"]))
+    assert got_schema == exp_schema
+
+    # --- data: zebra export --output-stdout
+    got_data = _run(["export", "--input", blocks, "--output-stdout"])
+    if case == "t03-binary":
+        # Binary table: raw bytes, byte-identical
+        assert got_data == open(f"{base}/input.ztxt").read()
+    else:
+        got_lines = [ln for ln in got_data.splitlines() if ln.strip()]
+        exp_lines = [ln for ln in exp_data.splitlines() if ln.strip()]
+        assert len(got_lines) == len(exp_lines)
+        for g, e in zip(got_lines, exp_lines):
+            assert json.loads(g) == json.loads(e), (g, e)
+
+    # --- summary: zebra summary
+    got_summary = json.loads(_run(["summary", "--input", blocks, "--zebra-style"]))
+    for k in ("block_count", "row_count", "max_rows_per_block"):
+        assert str(got_summary[k]) == exp_summary[k], k
+    for k in ("first_key", "last_key"):
+        if exp_summary[k].startswith("{"):
+            assert json.loads(got_summary[k]) == json.loads(exp_summary[k])
+        else:
+            assert got_summary[k] == exp_summary[k]
+
+
+def test_time_render_matches_reference_formatting():
+    # fraction = shortest digits of the microsecond double, '.': dropped
+    # when zero (renderCalendarTime, Time.hs:670-699)
+    ms = "time_milliseconds"
+    us = "time_microseconds"
+    s = "time_seconds"
+    assert render_ztime(parse_ztime("2017-02-03 13:35:57.790", ms), ms) == \
+        "2017-02-03 13:35:57.79"
+    assert render_ztime(parse_ztime("1600-03-01 00:00:00.000", ms), ms) == \
+        "1600-03-01 00:00:00"
+    assert render_ztime(parse_ztime("2999-12-31 23:59:59.999999", us), us) == \
+        "2999-12-31 23:59:59.999999"
+    assert render_ztime(parse_ztime("2017-01-01T12:34:56", s), s) == \
+        "2017-01-01 12:34:56"  # 'T' separator accepted on parse
+    assert parse_ztime("1600-03-01 00:00:00", us) == 0
+    assert parse_ztime("2999-12-31 23:59:59.999999", us) == 44174591999999999
+
+
+def test_date_bounds_and_epoch():
+    assert parse_zdate("1600-03-01") == 0
+    assert parse_zdate("2999-12-31") == 511279  # Date maxBound (Time.hs:167-169)
+    assert render_zdate(511279) == "2999-12-31"
+    assert parse_zdate("1970-01-01") == 135080  # ZEBRA_EPOCH_OFFSET_DAYS
+    with pytest.raises(ValueError):
+        parse_zdate("1600-02-29")  # before the epoch
+    with pytest.raises(ValueError):
+        parse_ztime("3000-01-01 00:00:00", "time_seconds")
+
+
+def test_ztxt_value_roundtrip_property(spark, tmp_path):
+    """Random-ish enum/binary/time-bearing table: ztxt render -> parse ->
+    identical values (the text-format analogue of the blocks bit-identity
+    law)."""
+    from zebra_spark.operators.ztxt import line_parser, line_renderer
+
+    node = {
+        "array": {
+            "element": {
+                "struct": {
+                    "fields": [
+                        {"name": "id", "schema": {"int": {}}},
+                        {"name": "opt", "schema": {"enum": {"variants": [
+                            {"name": "none", "schema": {"unit": {}}},
+                            {"name": "some", "schema": {"double": {}}},
+                        ]}}},
+                        {"name": "raw", "schema": {"binary": {}}},
+                        {"name": "when", "schema": {"int": {"encoding": {
+                            "time": {"interval": {"microseconds": {}}}}}}},
+                        {"name": "tags", "schema": {"array": {"element": {"int": {}}}}},
+                    ]
+                }
+            }
+        }
+    }
+    render, parse = line_renderer(node), line_parser(node)
+    rows = [
+        {"id": i, "opt": {"tag": i % 2, "v_some": 0.0 if i % 2 == 0 else i * 1.5},
+         "raw": bytes([i % 256, 255 - i % 256]),
+         "when": i * 987_654_321, "tags": list(range(i % 5))}
+        for i in range(50)
+    ]
+    back = [parse(render(r)) for r in rows]
+    assert back == rows

@@ -53,7 +53,15 @@ def cmd_import(args):
     from zebra_spark.operators.textio import import_json
 
     spark = _spark(args)
-    df = import_json(spark, args.input, schema=args.schema)
+    if args.input.endswith(".ztxt") or (args.schema or "").endswith(".zschema"):
+        # reference text format: value codec + .zschema (Json/Logical.hs)
+        from zebra_spark.operators.ztxt import read_ztxt
+
+        schema_path = args.schema or args.input[: -len(".ztxt")] + ".zschema"
+        with open(schema_path) as f:
+            df = read_ztxt(spark, args.input, f.read())
+    else:
+        df = import_json(spark, args.input, schema=args.schema)
     blocks = encode_df(df, rows_per_block=args.rows_per_block)
     blocks.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"imported_rows": df.count(), "output": args.output}))
@@ -64,6 +72,34 @@ def cmd_export(args):
 
     spark = _spark(args)
     _, df = _read_blocks(spark, args.input)
+    if args.schema_stdout:
+        from zebra_spark.operators.zschema import to_zschema
+
+        sys.stdout.write(to_zschema(df.schema))
+        return
+    if getattr(args, "format", "json") == "ztxt" or args.output_stdout:
+        from zebra_spark.operators.zschema import struct_to_zschema, to_zschema
+        from zebra_spark.operators.ztxt import (
+            render_ztxt_lines,
+            table_kind,
+            write_ztxt_file,
+        )
+
+        node = struct_to_zschema(df.schema)
+        if args.output_stdout:
+            if table_kind(node) == "binary":
+                for r in df.toLocalIterator():
+                    v = r["value"]
+                    sys.stdout.write(v if isinstance(v, str) else bytes(v).decode("utf-8"))
+            else:
+                for r in render_ztxt_lines(df, node).toLocalIterator():
+                    sys.stdout.write(r["value"] + "\n")
+            return
+        n = write_ztxt_file(df, args.output, node)
+        with open(args.output + ".zschema", "w") as f:
+            f.write(to_zschema(df.schema))
+        print(json.dumps({"exported_rows": n, "output": args.output}))
+        return
     export_json(df, args.output)
     print(json.dumps({"exported_rows": df.count(), "output": args.output}))
 
@@ -122,7 +158,54 @@ def cmd_summary(args):
     spark = _spark(args)
     blocks = spark.read.parquet(args.input)
     row = blocks_summary(blocks).collect()[0]
-    print(json.dumps({k: row[k] for k in row.asDict()}, default=str))
+    out = {k: row[k] for k in row.asDict()}
+    if args.zebra_style:
+        out.update(_zebra_summary_fields(spark, blocks, row))
+        print(json.dumps(out, default=str))
+        return
+    print(json.dumps(out, default=str))
+
+
+def _zebra_summary_fields(spark, blocks, row):
+    """zebra `summary` field parity (Command/Summary.hs:64-100): row_count
+    counts BYTES for Binary tables, and first/last key render as ztxt JSON
+    for Map tables (`<file is not a map>` otherwise)."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.zschema import MAP_TABLE_META, struct_to_zschema
+    from zebra_spark.operators.ztxt import _render_col, _variant, table_kind
+    from zebra_spark.plans.summary import binary_block_byte_counts
+
+    df = decode_df(blocks, resolve_schemas=True)
+    node = struct_to_zschema(df.schema)
+    kind = table_kind(node)
+    out = {
+        "block_count": row["n_blocks"],
+        "row_count": row["total_rows"],
+        "max_rows_per_block": row["max_rows_per_block"],
+        "first_key": "<file is not a map>",
+        "last_key": "<file is not a map>",
+    }
+    if kind == "binary":
+        sizes = binary_block_byte_counts(blocks).collect()
+        out["row_count"] = sum(r["n_bytes"] for r in sizes)
+        out["max_rows_per_block"] = max((r["n_bytes"] for r in sizes), default=0)
+    elif kind == "map":
+        _, val = _variant(node, "table")
+        render = _render_col(val["key"])
+        first = df.orderBy(F.col("key").asc()).select("key").head()
+        last = df.orderBy(F.col("key").desc()).select("key").head()
+        if first is not None:
+            out["first_key"] = json.dumps(
+                render(first["key"]), separators=(",", ":"), sort_keys=True,
+                ensure_ascii=False,
+            )
+            out["last_key"] = json.dumps(
+                render(last["key"]), separators=(",", ":"), sort_keys=True,
+                ensure_ascii=False,
+            )
+    return out
 
 
 def cmd_consistency(args):
@@ -187,16 +270,26 @@ def main(argv=None):
     ap.add_argument("--master", default="local[4]")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("import", help="line-JSON (+.zschema sidecar) -> blocks")
+    p = sub.add_parser(
+        "import", help="line-JSON or reference .ztxt (+.zschema) -> blocks"
+    )
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--schema", default=None, help="optional schema DDL/json")
+    p.add_argument(
+        "--schema", default=None,
+        help="schema DDL/json, or a .zschema file (selects the ztxt value codec)",
+    )
     p.add_argument("--rows-per-block", type=int, default=1 << 16)
     p.set_defaults(fn=cmd_import)
 
-    p = sub.add_parser("export", help="blocks -> line-JSON + schema sidecars")
+    p = sub.add_parser("export", help="blocks -> line-JSON or reference ztxt")
     p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--format", choices=["json", "ztxt"], default="json")
+    p.add_argument("--output-stdout", action="store_true",
+                   help="print ztxt data lines to stdout (zebra export --output-stdout)")
+    p.add_argument("--schema-stdout", action="store_true",
+                   help="print the .zschema to stdout (zebra export --schema-stdout)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("cat", help="print decoded rows as JSON lines")
@@ -223,6 +316,8 @@ def main(argv=None):
 
     p = sub.add_parser("summary", help="one-line JSON blocks summary")
     p.add_argument("--input", required=True)
+    p.add_argument("--zebra-style", action="store_true",
+                   help="add zebra summary fields (block_count/row_count/first_key/...)")
     p.set_defaults(fn=cmd_summary)
 
     p = sub.add_parser("consistency", help="inter-block order check (exit 1 on violation)")

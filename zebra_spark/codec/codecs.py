@@ -576,6 +576,36 @@ def zebra_strings_size(lengths: np.ndarray, concat: bytes) -> int:
     return len(pack_strings(lengths, concat))
 
 
+# speed-vs-size policy for expensive string codecs (FSST auto-probe):
+#   balanced (default) — require both the size win AND a bounded decode cost
+#   size               — size-only gate (r1/r2 behavior)
+#   speed              — never auto-fire FSST (explicit allow= still works)
+_CODEC_POLICY = os.environ.get("ZS_CODEC_POLICY", "balanced")
+_FSST_DECODE_BUDGET = 4.0  # sample decode may cost at most 4x snappy's
+
+
+def _probe_decode_ok(sample: bytes, fsst_probe: bytes) -> bool:
+    """Measure the 64 KB sample's decode cost: FSST symbol expansion vs the
+    snappy path the ZEBRA codec uses.  Relative timing in-process,
+    back-to-back — robust to the host's absolute-speed variance."""
+    import time
+
+    import pyarrow as pa
+
+    try:
+        snappy = pa.Codec("snappy")  # same codec bByteArray uses
+        snap = snappy.compress(sample)
+        t0 = time.perf_counter()
+        snappy.decompress(snap, len(sample))
+        t_snappy = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _fsst.decompress(memoryview(fsst_probe), 0)
+        t_fsst = time.perf_counter() - t0
+        return t_fsst <= _FSST_DECODE_BUDGET * max(t_snappy, 1e-6)
+    except Exception:
+        return False  # cannot prove the decode budget -> do not auto-fire
+
+
 def encode_strings(
     lengths: np.ndarray,
     concat: bytes,
@@ -634,15 +664,24 @@ def encode_strings(
         and not (fsst_forced or fsst_worth or aggressive)
         and len(concat) >= (64 << 10)
         and avg_len >= 64
+        and _CODEC_POLICY != "speed"
     ):
         # sampled probe: FSST costs ~100x snappy to run, so prove the win
         # on the first 64 KB before paying for the full column.  Full FSST
-        # runs only when the sample beats the best candidate by >= 20%.
-        probe = _fsst.compress(concat[: 64 << 10])
+        # runs only when the sample beats the best candidate by >= 20%
+        # on SIZE — and, under the default "balanced" policy, only when the
+        # sample's measured DECODE throughput stays within
+        # _FSST_DECODE_BUDGET of snappy's (r2 lesson: a size-only gate let
+        # FSST auto-fire on document text and the decode leg regressed
+        # 3.2x).  ZS_CODEC_POLICY=size restores the size-only gate;
+        # ZS_CODEC_POLICY=speed disables the auto-probe entirely.
+        sample = concat[: 64 << 10]
+        probe = _fsst.compress(sample)
         if probe is not None:
             best_ratio = len(best[1]) / (len(concat) + 8 * n)
-            if len(probe) / (64 << 10) < 0.8 * best_ratio:
-                fsst_worth = len(concat) <= (4 << 20)
+            if len(probe) / len(sample) < 0.8 * best_ratio:
+                if _CODEC_POLICY == "size" or _probe_decode_ok(sample, probe):
+                    fsst_worth = len(concat) <= (4 << 20)
 
     if allowed(StrCodec.FSST) and len(concat) >= 256 and (fsst_forced or fsst_worth):
         fs = _fsst.compress(concat)

@@ -266,6 +266,10 @@ def dup_clusters(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry a per-row `changed` flag instead of re-joining old labels:
+        # the (eager) localCheckpoint is the ONE job per round, and the
+        # fixpoint test is an early-exit isEmpty scan over the checkpointed
+        # rows — no extra join, no full count job
         new_labels = (
             labels.join(nbr_min, on="u", how="left")
             .select(
@@ -273,18 +277,94 @@ def dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        done = new_labels.filter(F.col("changed")).isEmpty()
+        labels = new_labels.drop("changed")
+        if done:
             break
     return labels.select(
         F.col("u").alias(vertex_col), F.col("label").alias("cluster")
+    )
+
+
+def minhash_lsh_md5(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Engine-portable minhash+LSH: md5-derived shingle hashes, 4 hashes in
+    2 bands of 2 -> banded candidate pairs (doc_a, doc_b).
+
+    This is the VERIFICATION configuration of minhash LSH: every step is
+    reproducible in ANSI SQL (character-k-gram substrings, 56-bit ints from
+    the md5 hex prefix, min fold per salted hash, band-equality equi-join),
+    so the driver's DuckDB oracle checks signatures AND band buckets
+    exactly.  The production path stays minhash_signatures /
+    minhash_lsh_candidates (xxhash64 shingles, bounded matrix fold,
+    hot-bucket caps) — same algorithm, faster hash.
+
+    All JVM codegen (md5/substr/transform/array_min) — no UDF, and each
+    band candidate join is an equi-join.
+    """
+    sh = (
+        f"transform(sequence(1, greatest(length(text)-{k - 1}, 1)),"
+        f" i -> substr(text, i, {k}))"
+    )
+
+    def sig(j: int):
+        return F.expr(
+            f"array_min(transform({sh}, s -> "
+            f"CAST(conv(substr(md5(concat('h{j}:', s)), 1, 14), 16, 10) AS BIGINT)))"
+        ).alias(f"s{j}")
+
+    sigs = docs.select("doc_id", sig(0), sig(1), sig(2), sig(3))
+
+    def band_pairs(cols: list[str]) -> DataFrame:
+        l, r = sigs.alias("l"), sigs.alias("r")
+        cond = F.col("l.doc_id") < F.col("r.doc_id")
+        for c in cols:
+            cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+        return l.join(r, cond).select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+
+    return (
+        band_pairs(["s0", "s1"])
+        .union(band_pairs(["s2", "s3"]))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_enumerated(
+    docs: DataFrame, n: int = 4, max_doc_id: int = 40, threshold: float = 0.05
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over an ENUMERATED candidate set (all
+    doc pairs below ``max_doc_id``) — the oracle-able configuration of the
+    Jaccard verify stage: substring shingles (no regex dialect risk),
+    set-intersection counts, one double division per row (bit-exact across
+    engines).  Production verification runs the same math over LSH
+    candidates (ngram_jaccard_pairs)."""
+    grams = docs.filter(F.col("doc_id") < max_doc_id).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text)-{n - 1}, 1)),"
+                f" i -> substr(text, i, {n}))"
+            )
+        ).alias("g"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect("a.g", "b.g"))
+    union = F.size("a.g") + F.size("b.g") - inter
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
     )

@@ -28,12 +28,25 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap: str = "30 minutes",
-) -> DataFrame:
+    max_events_per_key: int | None = None,
+    with_metrics: bool = False,
+):
     """Group `events` into per-key sessions separated by >= `gap` idle time.
 
     Returns one row per (key, session): session_start = first event ts,
     session_end = last event ts + gap (Spark's session_window convention),
     n_events, and the active span in seconds.
+
+    ``max_events_per_key``: hot-key guard.  All events of one key land in
+    ONE task's session-window sort, so a single bot user with millions of
+    events is a straggler/OOM hazard at scale.  Keys whose event count
+    exceeds the cap are DROPPED ENTIRELY and counted — the MaximumRowSize
+    drop-and-account discipline (Merge/Table.hs:157-163): a truncated
+    session would be silently WRONG (start/end/n_events all change), so
+    like zebra's oversized-row drop the whole key is excluded and
+    accounted.  The pre-count is one map-side-combinable aggregation on the
+    same key the session shuffle needs.  ``with_metrics=True`` also returns
+    the dropped-keys frame (key, n_events).
 
     Works on batch frames and on streams (with a watermark upstream).
     Events exactly `gap` apart MERGE into one session (Spark merges when
@@ -41,8 +54,14 @@ def sessionize(
     starts only when the idle gap strictly exceeds `gap` — matched by the
     strict `>` in the driver oracle and pinned by tests/test_sessions.py.
     """
+    dropped = None
+    if max_events_per_key is not None:
+        counts = events.groupBy(key_col).agg(F.count("*").alias("n_events"))
+        dropped = counts.filter(F.col("n_events") > max_events_per_key)
+        keep = counts.filter(F.col("n_events") <= max_events_per_key).select(key_col)
+        events = events.join(keep, key_col)
     w = F.session_window(F.col(ts_col), gap)
-    return (
+    out = (
         events.groupBy(F.col(key_col), w)
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -58,6 +77,9 @@ def sessionize(
             ).alias("span_micros"),
         )
     )
+    if with_metrics:
+        return out, dropped
+    return out
 
 
 def session_stats(sessions: DataFrame, key_col: str = "user_id") -> DataFrame:

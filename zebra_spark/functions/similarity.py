@@ -117,6 +117,43 @@ def brute_force_topk(
     )
 
 
+def _partition_local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Prune (query_id, neighbor_id, cos_sim) rows to each PARTITION's
+    top-k per query before any shuffle: the same two-phase pattern
+    brute_force_topk uses, applied to already-scored candidate rows.  State
+    is bounded at O(queries * k) per task (re-pruned after every batch);
+    the downstream exact window then ranks O(tasks * k * q) rows instead of
+    every candidate.  Ties break by ascending neighbor_id, matching the
+    final window ordering."""
+    import pyarrow as pa
+
+    def prune(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        qs = np.empty(0, np.int64)
+        ns = np.empty(0, np.int64)
+        cs = np.empty(0, np.float64)
+        for rb in batches:
+            qs = np.concatenate([qs, rb.column("query_id").to_numpy(zero_copy_only=False)])
+            ns = np.concatenate([ns, rb.column("neighbor_id").to_numpy(zero_copy_only=False)])
+            cs = np.concatenate([cs, rb.column("cos_sim").to_numpy(zero_copy_only=False)])
+            # keep only the per-query top-k seen so far: sort by (query,
+            # -cos, neighbor) and take the first k of each query run
+            order = np.lexsort((ns, -cs, qs))
+            qs, ns, cs = qs[order], ns[order], cs[order]
+            starts = np.flatnonzero(np.concatenate(([True], qs[1:] != qs[:-1])))
+            rank = np.arange(len(qs)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(qs)]))))
+            keep = rank < k
+            qs, ns, cs = qs[keep], ns[keep], cs[keep]
+        if len(qs):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qs), pa.array(ns), pa.array(cs)],
+                names=["query_id", "neighbor_id", "cos_sim"],
+            )
+
+    return scored.mapInArrow(
+        prune, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -236,12 +273,16 @@ def lsh_ann_topk(
         F.col("vec_id").alias("neighbor_id"),
         _cosine_expr(F.col("qvec"), F.col("embedding")).alias("cos_sim"),
     )
+    # partition-local top-k BEFORE the ranking shuffle: the window sees
+    # O(tasks * k * q) pruned rows, not every bucket candidate
+    pruned = _partition_local_topk(
+        joined.filter(F.col("query_id") != F.col("neighbor_id")), k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        joined.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
         .orderBy("query_id", "rank")

@@ -7,13 +7,26 @@ parallel — a block is self-describing (schema + payload + crc32).
 
 from __future__ import annotations
 
+import json
 import zlib
 from typing import Iterator
 
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.pandas.types import from_arrow_schema
+
+
+def spark_schema_with_meta(arrow_schema: pa.Schema) -> T.StructType:
+    """Arrow schema -> Spark StructType, restoring the full Spark schema
+    (with zebra.* field metadata, nested included) the encoder stored under
+    ``zebra.spark_schema`` (mapInArrow strips StructField metadata, so the
+    schema JSON rides schema-level in the arrow bytes)."""
+    raw = (arrow_schema.metadata or {}).get(b"zebra.spark_schema")
+    if raw:
+        return T.StructType.fromJson(json.loads(raw.decode()))
+    return from_arrow_schema(arrow_schema)
 
 from ..codec.blocks import decode_batch
 from ..codec.warmup import warm_codec
@@ -127,7 +140,7 @@ def decode_df(
     if schema is None:
         schema = arrow_schema_of(blocks)
     if isinstance(schema, pa.Schema):
-        schema = from_arrow_schema(schema)
+        schema = spark_schema_with_meta(schema)
     if columns is not None:
         known = {f.name for f in schema.fields}
         missing = set(columns) - known

@@ -99,6 +99,7 @@ def encode_chunk_rows(
     max_block_values: int = 1 << 22,
     key_col: str | None = None,
     _state: dict | None = None,
+    field_meta: dict | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Encode one Arrow batch into block rows (shared by all encode paths).
 
@@ -106,12 +107,24 @@ def encode_chunk_rows(
     total cells, so wide/ragged rows (long token arrays) cannot blow up a
     worker's memory: temporaries inside the codec scale with the cap, not
     with whatever batch size the source produced.
+
+    ``field_meta``: the full Spark schema JSON (df.schema.json()).
+    mapInArrow strips Spark field metadata (zebra.enum / zebra.encoding /
+    zebra.default / …, including NESTED struct fields) from the batches, so
+    encode_df captures the schema driver-side and it rides here as
+    schema-level metadata in the stored arrow schema — decode_df restores
+    it, keeping blocks schema-faithful end to end.
     """
     if rb.num_rows == 0:
         return
     task_id = task_tag or uuid.uuid4().hex[:12]
     state = _state if _state is not None else {"seq": 0}
-    schema_bytes = annotate_zebra_encodings(rb.schema).serialize().to_pybytes()
+    arrow_schema = annotate_zebra_encodings(rb.schema)
+    if field_meta:
+        md = dict(arrow_schema.metadata or {})
+        md[b"zebra.spark_schema"] = field_meta.encode()
+        arrow_schema = arrow_schema.with_metadata(md)
+    schema_bytes = arrow_schema.serialize().to_pybytes()
     schema_id = hashlib.sha1(schema_bytes).hexdigest()[:16]
     # every block row carries schema_id; the BYTES ship once per (task,
     # schema) — at 100 TB repeating the full arrow schema per block row is
@@ -155,7 +168,8 @@ def encode_chunk_rows(
         )
 
 
-def _encode_fn(rows_per_block: int, key_col: str | None = None):
+def _encode_fn(rows_per_block: int, key_col: str | None = None,
+               field_meta: str | None = None):
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         warm_codec()
         task_id = uuid.uuid4().hex[:12]
@@ -167,12 +181,14 @@ def _encode_fn(rows_per_block: int, key_col: str | None = None):
                 rows_per_block=rows_per_block,
                 key_col=key_col,
                 _state=state,
+                field_meta=field_meta,
             )
 
     return encode
 
 
-def _encode_grouped_fn(rows_per_block: int, key_col: str | None, group_col: str):
+def _encode_grouped_fn(rows_per_block: int, key_col: str | None, group_col: str,
+                       field_meta: str | None = None):
     """Encode fn that guarantees NO BLOCK SPANS TWO GROUP VALUES: each Arrow
     batch is stable-sorted by ``group_col``, split at group boundaries, and
     each run encoded separately with the group value carried on its block
@@ -206,6 +222,7 @@ def _encode_grouped_fn(rows_per_block: int, key_col: str | None, group_col: str)
                     rows_per_block=rows_per_block,
                     key_col=key_col,
                     _state=states.setdefault(unit_val, {"seq": 0}),
+                    field_meta=field_meta,
                 ):
                     yield out_rb.append_column(
                         "unit", pa.array([unit_val] * out_rb.num_rows, pa.int32())
@@ -232,12 +249,33 @@ def encode_df(
     if salt_col is not None and salt_buckets > 0:
         salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
         df = df.repartition(F.col(salt_col), salt)
+    # Spark field metadata (zebra.enum/encoding/default/reversed, nested
+    # included) does not survive mapInArrow; capture the full schema JSON
+    # driver-side so blocks stay schema-faithful (decode_df restores it)
+    field_meta = df.schema.json() if _has_metadata(df.schema) else None
     if group_col is not None:
         return df.mapInArrow(
-            _encode_grouped_fn(rows_per_block, key_col, group_col),
+            _encode_grouped_fn(rows_per_block, key_col, group_col, field_meta),
             schema=BLOCKS_DDL + ", unit int",
         )
-    return df.mapInArrow(_encode_fn(rows_per_block, key_col), schema=BLOCKS_DDL)
+    return df.mapInArrow(
+        _encode_fn(rows_per_block, key_col, field_meta), schema=BLOCKS_DDL
+    )
+
+
+def _has_metadata(dtype) -> bool:
+    """True if any (possibly nested) StructField carries metadata."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StructType):
+        return any(
+            f.metadata or _has_metadata(f.dataType) for f in dtype.fields
+        )
+    if isinstance(dtype, T.ArrayType):
+        return _has_metadata(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _has_metadata(dtype.keyType) or _has_metadata(dtype.valueType)
+    return False
 
 
 def codec_metrics(blocks: DataFrame) -> DataFrame:

@@ -48,7 +48,7 @@ from ..codec.bytecodec import (
     unpack_sized_byte_array,
 )
 from ..codec.intcodec import pack_int_array, unpack_int_array
-from .zschema import ENUM_META, struct_to_zschema, zschema_to_struct
+from .zschema import ENUM_META, enum_layout, struct_to_zschema, zschema_to_struct
 
 MAGIC_V3 = b"||ZEBRA||00003||"
 
@@ -56,7 +56,7 @@ _EPOCH_US = ZEBRA_EPOCH_OFFSET_DAYS * 86_400 * 1_000_000
 _EPOCH_S = ZEBRA_EPOCH_OFFSET_DAYS * 86_400
 
 __all__ = ["MAGIC_V3", "write_zebra_stream", "read_zebra_stream",
-           "write_zebra_files", "read_zebra_files"]
+           "open_zebra_stream", "write_zebra_files", "read_zebra_files"]
 
 
 def _no_nulls(arr: pa.Array, what: str) -> pa.Array:
@@ -103,7 +103,7 @@ def _is_enum(dtype: T.StructType, md: dict | None) -> list | None:
     """Variant layout for an enum struct: from zebra.enum metadata, else
     inferred from the struct shape (tag + v_* fields, no unit variants)."""
     if md and ENUM_META in md:
-        return md[ENUM_META]
+        return enum_layout(md[ENUM_META])
     names = [f.name for f in dtype.fields]
     if names and names[0] == "tag" and all(n.startswith("v_") for n in names[1:]):
         return [[n[2:], False] for n in names[1:]]
@@ -250,16 +250,102 @@ def _decode_column(mv, pos: int, n: int, dtype: T.DataType, md: dict | None):
     raise NotImplementedError(f"zebra file: unsupported type {dtype}")
 
 
-def write_zebra_stream(batches: Iterator[pa.RecordBatch], schema: T.StructType) -> bytes:
-    """Header + one V3 block per batch, for a DataFrame-shaped (Array of
-    Struct) table."""
+def _table_kind_of(schema: T.StructType) -> str:
+    """array | map | binary — zebra tables can be Binary (rows are BYTES)
+    or Map k v at top level, not just Array-of-Struct (Schema.hs:80-84;
+    Serial/Binary/Table.hs:38-64).  Carried as first-field metadata by
+    zschema.zschema_to_struct."""
+    from .zschema import BINARY_TABLE_META, MAP_TABLE_META
+
+    if schema.fields and (schema.fields[0].metadata or {}).get(BINARY_TABLE_META):
+        return "binary"
+    if schema.fields and (schema.fields[0].metadata or {}).get(MAP_TABLE_META):
+        return "map"
+    return "array"
+
+
+def _adjacent_equal(arr: pa.Array) -> np.ndarray:
+    """bool[n-1]: row i equals row i+1 (struct keys compare field-wise)."""
+    if pa.types.is_struct(arr.type):
+        out = np.ones(max(len(arr) - 1, 0), dtype=bool)
+        for i in range(arr.type.num_fields):
+            out &= _adjacent_equal(arr.field(i))
+        return out
+    eq = pa.compute.equal(arr.slice(1), arr.slice(0, len(arr) - 1))
+    return eq.to_numpy(zero_copy_only=False)
+
+
+def _check_map_table_keys(keys: pa.Array) -> None:
+    """Map TABLE invariant: keys strictly ascending (Striped.hs:572-591)."""
+    if len(keys) < 2:
+        return
+    cols = (
+        {f"k{i}": keys.field(i) for i in range(keys.type.num_fields)}
+        if pa.types.is_struct(keys.type)
+        else {"k": keys}
+    )
+    tbl = pa.table(cols)
+    idx = pa.compute.sort_indices(
+        tbl, sort_keys=[(name, "ascending") for name in cols]
+    ).to_numpy()
+    if not np.array_equal(idx, np.arange(len(keys))):
+        raise ValueError(
+            "StripedMapNotSorted: map-table keys must be ascending within "
+            "a block (orderBy the key first; Striped.hs:572-591)"
+        )
+    if _adjacent_equal(keys).any():
+        raise ValueError("StripedMapDuplicateKeys: duplicate map-table key")
+
+
+def _encode_block(out: list, rb: pa.RecordBatch, schema: T.StructType, kind: str) -> int:
+    """One V3 block: u32 row_count + table walk.  Returns the row count
+    (BYTE count for Binary tables — Serial/Binary/Table.hs:38-44)."""
+    if kind == "binary":
+        arr = _no_nulls(rb.column("value"), "binary table")
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.large_binary())
+        _, concat = _binary_parts(arr)
+        out.append(np.uint32(len(concat)).astype("<u4").tobytes())
+        out.append(pack_byte_array(concat))
+        return len(concat)
+    if kind == "map":
+        _check_map_table_keys(rb.column("key"))
+    out.append(np.uint32(rb.num_rows).astype("<u4").tobytes())
+    # Map table walk = key column + value column, which is exactly the
+    # (key, value) fields walk (Serial/Binary/Table.hs:46-64)
+    for f in schema.fields:
+        _encode_column(out, rb.column(f.name), f.dataType, f.metadata, f.name)
+    return rb.num_rows
+
+
+def write_zebra_stream(
+    batches: Iterator[pa.RecordBatch], schema: T.StructType, fileobj=None
+) -> bytes | int:
+    """Header + one V3 block per batch.
+
+    With ``fileobj`` the stream is written INCREMENTALLY — one block's bytes
+    at a time, nothing file-sized is ever materialized (the
+    `Serial/Binary/File.hs:94-165` shape) — and the byte count is returned.
+    Without it the whole stream is returned as bytes (small/test use)."""
     header = json.dumps(struct_to_zschema(schema)).encode()
-    out = [MAGIC_V3, pack_sized_byte_array(header)]
+    kind = _table_kind_of(schema)
+    prefix = [MAGIC_V3, pack_sized_byte_array(header)]
+    if fileobj is None:
+        out = prefix
+        for rb in batches:
+            _encode_block(out, rb, schema, kind)
+        return b"".join(out)
+    n_bytes = 0
+    for part in prefix:
+        fileobj.write(part)
+        n_bytes += len(part)
     for rb in batches:
-        out.append(np.uint32(rb.num_rows).astype("<u4").tobytes())
-        for f in schema.fields:
-            _encode_column(out, rb.column(f.name), f.dataType, f.metadata, f.name)
-    return b"".join(out)
+        out = []
+        _encode_block(out, rb, schema, kind)
+        for part in out:
+            fileobj.write(part)
+            n_bytes += len(part)
+    return n_bytes
 
 
 def _revive_temporals(schema: T.StructType) -> T.StructType:
@@ -299,20 +385,95 @@ def read_zebra_header(path: str) -> T.StructType:
     return schema
 
 
+class _StreamReader:
+    """Bounded incremental reader: keeps at most (one block + one chunk) of
+    the file in memory, attoparsec-style retry-on-truncation (the reference
+    streams blocks the same way — Serial/Binary/File.hs:94-165).  Every
+    unpack validates sizes before reading, so a truncated buffer always
+    raises (never silently mis-parses) and the parse retries with more
+    data."""
+
+    def __init__(self, f, chunk_bytes: int = 1 << 20):
+        self.f, self.chunk = f, chunk_bytes
+        self.buf = b""
+        self.eof = False
+        self.max_buffered = 0  # test hook: peak bytes held
+
+    def _fill(self) -> bool:
+        b = self.f.read(self.chunk)
+        if not b:
+            self.eof = True
+            return False
+        self.buf += b
+        self.max_buffered = max(self.max_buffered, len(self.buf))
+        return True
+
+    def parse(self, parse_fn):
+        """parse_fn(mv) -> (result, consumed); retried with more data on
+        truncation errors until EOF (OSError covers snappy's corrupt-data
+        signal on a cut-short byte_array)."""
+        while True:
+            try:
+                res, consumed = parse_fn(memoryview(self.buf))
+            except (ValueError, IndexError, OSError):
+                if self._fill():
+                    continue
+                raise
+            self.buf = self.buf[consumed:]
+            return res
+
+    def at_eof(self) -> bool:
+        while not self.buf:
+            if self.eof or not self._fill():
+                return True
+        return False
+
+
+def _parse_block(mv: memoryview, schema: T.StructType, kind: str):
+    """One V3 block -> (RecordBatch, consumed).  Binary tables come back as
+    ONE row holding the block's bytes (n is the BYTE count)."""
+    if len(mv) < 4:
+        raise ValueError("zebra block truncated: no row count")
+    n = int(np.frombuffer(mv[:4], dtype="<u4")[0])
+    if kind == "binary":
+        concat, pos = unpack_byte_array(mv, n, 4)
+        f0 = schema.fields[0]
+        val = concat.decode("utf-8") if isinstance(f0.dataType, T.StringType) else concat
+        arr = pa.array([val], pa.string() if isinstance(f0.dataType, T.StringType) else pa.binary())
+        return pa.RecordBatch.from_arrays([arr], names=["value"]), pos
+    pos = 4
+    arrays = []
+    for f in schema.fields:
+        arr, pos = _decode_column(mv, pos, n, f.dataType, f.metadata)
+        arrays.append(arr)
+    rb = pa.RecordBatch.from_arrays(arrays, names=[f.name for f in schema.fields])
+    if kind == "map":
+        _check_map_table_keys(rb.column("key"))
+    return rb, pos
+
+
+def open_zebra_stream(f, chunk_bytes: int = 1 << 20):
+    """-> (spark schema, iterator of RecordBatch) over an open binary file,
+    reading in bounded increments (peak memory ~ one block + chunk_bytes,
+    independent of file size)."""
+    rd = _StreamReader(f, chunk_bytes)
+    schema = rd.parse(_read_header)  # returns (schema, consumed)
+    kind = _table_kind_of(schema)
+
+    def batches():
+        while not rd.at_eof():
+            yield rd.parse(lambda mv: _parse_block(mv, schema, kind))
+
+    return schema, batches(), rd
+
+
 def read_zebra_stream(data: bytes):
     """-> (StructType from the header, pa.Table of all blocks)."""
-    mv = memoryview(data)
-    schema, pos = _read_header(mv)
-    batches = []
-    while pos < len(mv):
-        n = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
-        pos += 4
-        arrays = []
-        for f in schema.fields:
-            arr, pos = _decode_column(mv, pos, n, f.dataType, f.metadata)
-            arrays.append(arr)
-        batches.append(pa.RecordBatch.from_arrays(arrays, names=[f.name for f in schema.fields]))
-    return schema, pa.Table.from_batches(batches) if batches else None
+    import io
+
+    schema, batches, _ = open_zebra_stream(io.BytesIO(data))
+    got = list(batches)
+    return schema, pa.Table.from_batches(got) if got else None
 
 
 # --- Spark-scale wrappers ------------------------------------------------------
@@ -320,37 +481,60 @@ def read_zebra_stream(data: bytes):
 
 def write_zebra_files(df, out_dir: str, rows_per_block: int = 1 << 16):
     """One zebra V3 file per partition (each self-describing); returns the
-    manifest DataFrame (path, n_rows, n_bytes)."""
+    manifest DataFrame (path, n_rows, n_bytes).
+
+    Streaming: each block's bytes are written to the file handle as soon as
+    they are encoded — task peak memory is one block + one Arrow batch,
+    independent of partition size (the round-2 whole-file b"".join is
+    gone)."""
     import os
     import uuid
 
     schema = df.schema
+    kind = _table_kind_of(schema)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        chunks = []
-        for rb in batches:
-            for off in range(0, rb.num_rows, rows_per_block):
-                chunks.append(rb.slice(off, min(rows_per_block, rb.num_rows - off)))
-        if not chunks:
-            return
-        data = write_zebra_stream(iter(chunks), schema)
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.zebra")
-        with open(path, "wb") as f:
-            f.write(data)
+        header = json.dumps(struct_to_zschema(schema)).encode()
+        n_rows = 0
+        n_bytes = 0
+        f = None
+        try:
+            for rb in batches:
+                for off in range(0, rb.num_rows, rows_per_block):
+                    chunk = rb.slice(off, min(rows_per_block, rb.num_rows - off))
+                    if chunk.num_rows == 0:
+                        continue
+                    if f is None:
+                        f = open(path, "wb")
+                        for part in (MAGIC_V3, pack_sized_byte_array(header)):
+                            f.write(part)
+                            n_bytes += len(part)
+                    out: list = []
+                    n_rows += _encode_block(out, chunk, schema, kind)
+                    for part in out:
+                        f.write(part)
+                        n_bytes += len(part)
+        finally:
+            if f is not None:
+                f.close()
+        if f is None:
+            return  # empty partition: no file
         yield pa.RecordBatch.from_pydict(
-            {
-                "path": [path],
-                "n_rows": [sum(c.num_rows for c in chunks)],
-                "n_bytes": [len(data)],
-            }
+            {"path": [path], "n_rows": [n_rows], "n_bytes": [n_bytes]}
         )
 
     return df.mapInArrow(run, schema="path string, n_rows long, n_bytes long")
 
 
-def read_zebra_files(spark, paths: list[str]):
-    """Parallel read of zebra V3 files back into a DataFrame."""
+def read_zebra_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
+    """Parallel read of zebra V3 files back into a DataFrame.
+
+    Each task streams its file in ``chunk_bytes`` increments and yields
+    per-block batches as they parse — peak memory is one block + one chunk,
+    not the file size, and downstream operators start before the file
+    finishes."""
     first_schema = read_zebra_header(paths[0])
     pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         max(1, len(paths))
@@ -359,8 +543,8 @@ def read_zebra_files(spark, paths: list[str]):
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             for p in rb.column("path").to_pylist():
-                _, table = read_zebra_stream(open(p, "rb").read())
-                if table is not None:
-                    yield from table.to_batches()
+                with open(p, "rb") as f:
+                    _, blocks, _ = open_zebra_stream(f, chunk_bytes)
+                    yield from blocks
 
     return pdf.mapInArrow(run, schema=first_schema)

@@ -38,7 +38,19 @@ from pyspark.sql import types as T
 
 from .merge import DEFAULT_META, REVERSED_META
 
-ENUM_META = "zebra.enum"  # [[variant_name, is_unit], ...] in tag order
+ENUM_META = "zebra.enum"  # JSON text: [[variant_name, is_unit], ...] in tag order
+# Spark's JVM Metadata cannot hold nested arrays (json4s JArray rejection in
+# parseDataType), so the layout is stored as a JSON STRING; use the helpers.
+
+
+def enum_layout_meta(layout: list) -> str:
+    return json.dumps(layout)
+
+
+def enum_layout(md_value) -> list:
+    """Accept both the canonical JSON-string form and a raw list (older
+    python-side constructions)."""
+    return json.loads(md_value) if isinstance(md_value, str) else list(md_value)
 ENCODING_META = "zebra.encoding"
 MAP_TABLE_META = "zebra.map_table"
 BINARY_TABLE_META = "zebra.binary_table"
@@ -117,7 +129,7 @@ def _col_to_dtype(node: dict, what: str) -> tuple[T.DataType, dict]:
             if not is_unit:
                 vtype, vmd = _col_to_dtype(vnode, f"variant {vname}")
                 fields.append(T.StructField(f"v_{vname}", vtype, True, vmd))
-        md[ENUM_META] = layout
+        md[ENUM_META] = enum_layout_meta(layout)
         return T.StructType(fields), md
     if name == "struct":
         md = _default_meta(val)
@@ -271,7 +283,7 @@ def _dtype_to_col(dtype: T.DataType, md: dict | None, what: str) -> dict:
         if ENUM_META in md:
             by_name = {f.name: f for f in dtype.fields}
             variants = []
-            for vname, is_unit in md[ENUM_META]:
+            for vname, is_unit in enum_layout(md[ENUM_META]):
                 if is_unit:
                     variants.append({"name": vname, "schema": {"unit": {}}})
                 else:

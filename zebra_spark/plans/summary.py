@@ -80,3 +80,39 @@ def consistency_check(
         )
     )
     return inner.unionByName(boundary)
+
+
+def binary_block_byte_counts(blocks: DataFrame) -> DataFrame:
+    """Per-block byte counts for a Binary-table blocks frame — zebra's V3
+    row count for a Binary table IS the byte count
+    (Serial/Binary/Table.hs:38-44), so `zebra summary` parity needs bytes,
+    not DataFrame rows.  One parallel pass, block-local."""
+    import pyarrow as pa
+
+    from ..codec.blocks import decode_batch
+    from ..operators.decode import schema_map_of
+
+    smap = schema_map_of(blocks)
+
+    def run(batches):
+        parsed: dict[str, pa.Schema] = {}
+        for rb in batches:
+            for i in range(rb.num_rows):
+                sid = rb.column("schema_id")[i].as_py()
+                schema = parsed.get(sid)
+                if schema is None:
+                    schema = pa.ipc.read_schema(pa.py_buffer(smap[sid]))
+                    parsed[sid] = schema
+                batch = decode_batch(rb.column("payload")[i].as_py(), schema)
+                col = batch.column("value")
+                n = pa.compute.sum(pa.compute.binary_length(col)).as_py() or 0
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "block_id": [rb.column("block_id")[i].as_py()],
+                        "n_bytes": [int(n)],
+                    }
+                )
+
+    return blocks.select("block_id", "schema_id", "payload").mapInArrow(
+        run, schema="block_id string, n_bytes long"
+    )
