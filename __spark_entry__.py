@@ -436,7 +436,7 @@ def _q_merge_row_cap(spark, sf_dir):
     from zebra_spark.operators.merge import merge_tables
 
     a, b = _merge_inputs(spark, sf_dir)
-    _kept, dropped = merge_tables([a, b], ["k"], max_row_bytes=60)
+    _kept, dropped = merge_tables([a, b], ["k"], max_row_bytes=25)
     return dropped
 
 
@@ -1057,13 +1057,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM u GROUP BY k ORDER BY k"
         ),
         "merge_row_cap": (
+            # EXACT Logical.size terms (Logical.hs:221-247): nested Binary
+            # is byte length (no scalar overhead), nested Array sums its
+            # elements.  a: events=["A:"+status(1)] -> 3, log="p="+prio;
+            # b: events=["B:"+prio] -> 2+len, log="s="+status(1) -> 3
             "WITH a AS (SELECT o_orderkey AS k, "
-            "CAST(16 + 2 + length(o_orderpriority) + 8 AS BIGINT) AS term FROM orders), "
-            "b AS (SELECT o_orderkey AS k, CAST(16 + 3 + 8 AS BIGINT) AS term "
+            "CAST(3 + 2 + length(o_orderpriority) AS BIGINT) AS term FROM orders), "
+            "b AS (SELECT o_orderkey AS k, "
+            "CAST(2 + length(o_orderpriority) + 3 AS BIGINT) AS term "
             "FROM orders WHERE o_orderkey % 3 = 0), "
             "u AS (SELECT * FROM a UNION ALL SELECT * FROM b) "
             "SELECT k, CAST(SUM(term) AS BIGINT) AS row_bytes FROM u GROUP BY k "
-            "HAVING SUM(term) > 60 ORDER BY k"
+            "HAVING SUM(term) > 25 ORDER BY k"
         ),
         "transmute_widen": (
             "SELECT n_nationkey, n_name, n_regionkey, '' AS extra_note, "

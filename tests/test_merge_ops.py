@@ -236,3 +236,43 @@ def test_key_str_total_order():
     vals += [0, -1, 1, -(2**63), 2**63 - 1]
     assert sorted(vals) == sorted(vals, key=_key_str)
     assert int(_key_str(42)) == 42  # non-negatives CAST back exactly
+
+
+def test_logical_size_exact(spark):
+    """Exact Logical.size pins (Logical.hs:221-247): scalar 8, bool 16
+    (enum of units), string/binary = byte length, array sums elements,
+    map sums key+value, enum = 8 + selected variant."""
+    from zebra_spark.operators.merge import _size_value
+
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(7, 1.5, True, "héllo", b"xyz", [10, 20, 30], ["ab", "c"], {"k": 1})],
+        "i long, d double, b boolean, s string, bin binary, "
+        "ai array<long>, as array<string>, m map<string,long>",
+    )
+    exprs = {
+        f.name: _size_value(F.col(f.name), f.dataType, f.metadata)
+        for f in df.schema.fields
+    }
+    row = df.select(*[v.alias(k) for k, v in exprs.items()]).collect()[0]
+    assert row["i"] == 8 and row["d"] == 8 and row["b"] == 16
+    assert row["s"] == 6  # é is 2 bytes in UTF-8
+    assert row["bin"] == 3
+    assert row["ai"] == 24  # 3 * 8
+    assert row["as"] == 3  # "ab" + "c"
+    assert row["m"] == 9  # key "k"(1) + value 8
+    # enum: 8 + selected variant (unit selected -> 8 + 8)
+    enum_t = T.StructType([
+        T.StructField("tag", T.LongType(), False),
+        T.StructField("v_some", T.StringType(), False),
+    ])
+    edf = spark.createDataFrame(
+        [((0, ""),), ((1, "abcd"),)], T.StructType([T.StructField("e", enum_t)])
+    )
+    md = {"zebra.enum": '[["none", true], ["some", false]]'}
+    sizes = [
+        r[0]
+        for r in edf.select(_size_value(F.col("e"), enum_t, md)).collect()
+    ]
+    assert sizes == [16, 12]  # none: 8+8 (unit); some: 8 + 4 bytes

@@ -24,6 +24,8 @@ combinable aggregation; AQE splits skewed keys.
 
 from __future__ import annotations
 
+import json
+
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
@@ -293,14 +295,94 @@ def merge_tables(
     return kept, dropped
 
 
+def _enum_layout_of(t: T.StructType, md: dict | None) -> list | None:
+    """[(variant_name, is_unit)] for an enum-shaped struct (zebra.enum
+    metadata, else inferred from the tag + v_* shape) — local copy of the
+    zfile/zschema convention to avoid an import cycle."""
+    raw = (md or {}).get("zebra.enum")
+    if raw is not None:
+        layout = json.loads(raw) if isinstance(raw, str) else raw
+        return [(n, bool(u)) for n, u in layout]
+    names = [f.name for f in t.fields]
+    if names and names[0] == "tag" and all(n.startswith("v_") for n in names[1:]):
+        return [(n[2:], False) for n in names[1:]]
+    return None
+
+
+def _size_value(col, dtype: T.DataType, md: dict | None = None):
+    """EXACT zebra Logical.size of one value (Logical.hs:221-247): scalars
+    are 8 bytes, Enum is 8 + the SELECTED variant's size (Unit counts 8),
+    Struct is the plain field sum, Nested Binary is the byte length, Nested
+    Array/Map sum their elements, Reversed is the inner value.  Exactness
+    matters: MaximumRowSize drop decisions now match zebra byte-for-byte on
+    the same cap."""
+    if isinstance(dtype, T.BooleanType):
+        # bool = Enum[false:Unit, true:Unit]: 8 (tag) + 8 (unit)
+        return F.lit(16).cast("long")
+    if isinstance(dtype, (T.StringType, T.BinaryType)):
+        return F.coalesce(F.octet_length(col), F.lit(0)).cast("long")
+    if isinstance(dtype, T.ArrayType):
+        fixed = _fixed_size(dtype.elementType, None)
+        if fixed is not None:
+            return F.coalesce(F.size(col), F.lit(0)).cast("long") * fixed
+        total = F.aggregate(
+            col,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + _size_value(x, dtype.elementType, None),
+        )
+        return F.coalesce(total, F.lit(0)).cast("long")
+    if isinstance(dtype, T.MapType):
+        kf = _fixed_size(dtype.keyType, None)
+        vf = _fixed_size(dtype.valueType, None)
+        if kf is not None and vf is not None:
+            return F.coalesce(F.size(col), F.lit(0)).cast("long") * (kf + vf)
+        total = F.aggregate(
+            F.map_entries(col),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + _size_value(e["key"], dtype.keyType, None)
+            + _size_value(e["value"], dtype.valueType, None),
+        )
+        return F.coalesce(total, F.lit(0)).cast("long")
+    if isinstance(dtype, T.StructType):
+        layout = _enum_layout_of(dtype, md)
+        if layout is not None:
+            tag = col["tag"]
+            selected = F.lit(8).cast("long")  # unit variants
+            for i, (vname, is_unit) in enumerate(layout):
+                if is_unit:
+                    continue
+                vf = dtype[f"v_{vname}"]
+                selected = F.when(
+                    tag == i, _size_value(col[f"v_{vname}"], vf.dataType, vf.metadata)
+                ).otherwise(selected)
+            return F.lit(8).cast("long") + selected
+        total = F.lit(0).cast("long")
+        for f in dtype.fields:
+            total = total + _size_value(col[f.name], f.dataType, f.metadata)
+        return total
+    return F.lit(8).cast("long")  # Int / Double / temporals / Unit
+
+
+def _fixed_size(dtype: T.DataType, md: dict | None) -> int | None:
+    """Constant Logical.size for a type, if it has one (fast array path)."""
+    if isinstance(dtype, T.BooleanType):
+        return 16
+    if isinstance(
+        dtype,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+         T.DoubleType, T.DateType, T.TimestampType, T.TimestampNTZType),
+    ):
+        return 8
+    if isinstance(dtype, T.StructType):
+        if _enum_layout_of(dtype, md) is not None:
+            return None  # varies by tag in general
+        sizes = [_fixed_size(f.dataType, f.metadata) for f in dtype.fields]
+        if all(s is not None for s in sizes):
+            return sum(sizes)
+    return None
+
+
 def _row_size_term(field: T.StructField):
-    """Rough per-value byte size, mirroring Logical.size (Logical.hs:221-247)."""
-    name = field.name
-    t = field.dataType
-    if isinstance(t, T.ArrayType):
-        return F.coalesce(F.size(name), F.lit(0)).cast("long") * 8 + 8
-    if isinstance(t, (T.StringType, T.BinaryType)):
-        return F.coalesce(F.length(name), F.lit(0)).cast("long") + 8
-    if isinstance(t, T.MapType):
-        return F.coalesce(F.size(name), F.lit(0)).cast("long") * 16 + 8
-    return F.lit(8).cast("long")
+    """Per-value byte size — exact Logical.size (Logical.hs:221-247)."""
+    return _size_value(F.col(field.name), field.dataType, field.metadata)
