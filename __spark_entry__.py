@@ -318,6 +318,12 @@ def _q_ngram_jaccard_exact(spark, sf_dir):
     return ngram_jaccard_enumerated(_load(spark, sf_dir, "documents"))
 
 
+def _q_simhash_md5(spark, sf_dir):
+    from zebra_spark.functions.dedup import simhash_md5
+
+    return simhash_md5(_load(spark, sf_dir, "documents"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from zebra_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -929,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "utf8_reject_count": _q_utf8_reject_count,
             "minhash_lsh_md5": _q_minhash_md5,
             "ngram_jaccard_exact": _q_ngram_jaccard_exact,
+            "simhash_md5": _q_simhash_md5,
             "cosine_pairs_exact": _q_cosine_pairs_exact,
             "dup_clusters": _q_dup_clusters,
             "corpus_clean": _q_corpus_clean,
@@ -1179,6 +1186,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM s l JOIN s r ON l.doc_id < r.doc_id "
             "AND ((l.s0 = r.s0 AND l.s1 = r.s1) OR (l.s2 = r.s2 AND l.s3 = r.s3)) "
             "ORDER BY doc_a, doc_b"
+        ),
+        # md5 simhash: +-1 vote fold per bit, strict >0 majority
+        "simhash_md5": (
+            "WITH h AS (SELECT doc_id, "
+            "  list_transform(list_transform(range(1, greatest(length(text)-2, 2)), "
+            "    i -> substr(text, i, 4)), "
+            "    s -> CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT)) AS hs "
+            "FROM documents) "
+            "SELECT doc_id, CAST((CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 0) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 1) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 2) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 3) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 4) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 5) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 6) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 7) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 128 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 8) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 256 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 9) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 512 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 10) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1024 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 11) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 2048 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 12) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 4096 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 13) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 8192 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 14) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 16384 ELSE 0 END) + (CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> 15) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash16 "
+            "FROM h ORDER BY doc_id"
         ),
         # char-4-gram Jaccard over the enumerated candidate set doc_id<40
         "ngram_jaccard_exact": (

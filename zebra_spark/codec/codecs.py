@@ -209,7 +209,17 @@ def encode_ints(
                     ),
                 )
 
-    codec = min(candidates, key=lambda c: (candidates[c][0], c))
+    # decode-cost-aware SELECTION (payload sizes stay actual): under the
+    # default balanced policy DELTA pays a 5% size handicap — its decode
+    # needs an extra full cumsum pass (measured ~1.4x zebra, ~2x pfor on
+    # token streams), so it must be >5% smaller to win.  The <=zebra bound
+    # is untouched: zebra's handicap is 1.0, so any winner satisfies
+    # size * handicap < zsize => size < zsize.
+    handicap = _DECODE_HANDICAP if _CODEC_POLICY != "size" else {}
+    codec = min(
+        candidates,
+        key=lambda c: (candidates[c][0] * handicap.get(c, 1.0), c),
+    )
     size, thunk = candidates[codec]
     meta = {
         "codec": IntCodec.NAMES[codec],
@@ -273,7 +283,11 @@ def _alp_build(values_i64: np.ndarray):
         r = np.round(sample * scale)
         if not (np.abs(r) < 2**53).all():
             return None
-        if ((r / scale).view(_I64) == values_i64[: len(sample)]).all():
+        # verify the EXACT decode expression (int64 -> float64 -> divide):
+        # checking r/scale alone would wrongly accept -0.0, whose round
+        # keeps the sign bit but whose int64 form decodes to +0.0
+        back = r.astype(_I64).astype(np.float64) / scale
+        if (back.view(_I64) == values_i64[: len(sample)]).all():
             e_found = e
             break
     if e_found is None:
@@ -285,8 +299,9 @@ def _alp_build(values_i64: np.ndarray):
             ok = np.isfinite(f).all() and (np.abs(r) < 2**53).all()
             if not ok:
                 return None
-            if ((r / scale).view(_I64) == values_i64).all():
-                ints = r.astype(_I64)
+            ints = r.astype(_I64)
+            back = ints.astype(np.float64) / scale
+            if (back.view(_I64) == values_i64).all():
                 plan = plan_int_array(ints)
                 return 1 + plan.size, (
                     lambda e=e, plan=plan: bytes([e]) + pack_from_plan(plan)
@@ -582,6 +597,11 @@ def zebra_strings_size(lengths: np.ndarray, concat: bytes) -> int:
 #   speed              — never auto-fire FSST (explicit allow= still works)
 _CODEC_POLICY = os.environ.get("ZS_CODEC_POLICY", "balanced")
 _FSST_DECODE_BUDGET = 4.0  # sample decode may cost at most 4x snappy's
+
+# int-codec selection handicaps under the balanced policy: DELTA decode
+# needs an extra full cumsum pass over the output (measured ~1.4x zebra /
+# ~2x pfor on token streams), so it must win by >5% on size to be chosen
+_DECODE_HANDICAP = {IntCodec.DELTA: 1.05}
 
 
 def _probe_decode_ok(sample: bytes, fsst_probe: bytes) -> bool:

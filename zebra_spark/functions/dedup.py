@@ -368,3 +368,26 @@ def ngram_jaccard_enumerated(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def simhash_md5(docs: DataFrame, bits: int = 16, k: int = 4) -> DataFrame:
+    """Engine-portable SimHash (verification config): md5-derived 56-bit
+    shingle hashes, per-bit majority votes folded JVM-side into a
+    ``bits``-wide signature.  Every step is ANSI-SQL-reproducible
+    (substr shingles, md5 hex prefix ints, +-1 vote fold per bit, strict
+    >0 majority), so the driver oracle checks signatures exactly.  The
+    production path stays :func:`simhash` (xxhash64 words, one vectorized
+    np.add.at bit fold)."""
+    hs = (
+        f"transform(transform(sequence(1, greatest(length(text)-{k - 1}, 1)),"
+        f" i -> substr(text, i, {k})),"
+        f" s -> CAST(conv(substr(md5(s), 1, 14), 16, 10) AS BIGINT))"
+    )
+    tagged = docs.select("doc_id", F.expr(hs).alias("hs"))
+    bit_terms = [
+        f"IF(aggregate(hs, 0L, (acc, h) -> acc + IF((shiftright(h, {b}) & 1) = 1, 1L, -1L)) > 0, {1 << b}L, 0L)"
+        for b in range(bits)
+    ]
+    return tagged.select(
+        "doc_id", F.expr(" + ".join(bit_terms)).alias("simhash16")
+    ).orderBy("doc_id")
