@@ -700,6 +700,70 @@ def _q_zebra_file_roundtrip(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_zfile_map_table(spark, sf_dir):
+    """Top-level Map TABLE through the V3 container (Serial/Binary/
+    Table.hs:46-64): customer as a zebra Map (c_custkey -> c_name) — key
+    column + value column walk, strictly-ascending dup-free keys enforced
+    per block (sorted single-partition write), read back in parallel."""
+    import shutil
+    import tempfile
+
+    from zebra_spark.operators.zfile import read_zebra_files, write_zebra_files
+    from zebra_spark.operators.zschema import MAP_TABLE_META
+
+    cust = _load(spark, sf_dir, "customer").orderBy("c_custkey").coalesce(1)
+    df = cust.select(
+        F.col("c_custkey").alias("key", metadata={MAP_TABLE_META: True}),
+        F.col("c_name").alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="zs_zmap_")
+    try:
+        manifest = write_zebra_files(df, out, rows_per_block=1024).collect()
+        return (
+            read_zebra_files(spark, [r["path"] for r in manifest])
+            .orderBy("key")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _q_zfile_binary_table(spark, sf_dir):
+    """Top-level Binary TABLE through the V3 container (Table.hs:38-44; the
+    V3 row count IS the byte count): documents' texts NUL-joined into one
+    byte stream, written as a zebra Binary file, read back as per-block
+    byte runs and re-split — every original text must come back
+    byte-identical (compared as sorted md5 digests; rows never split
+    across blocks, so NUL boundaries survive chunking)."""
+    import shutil
+    import tempfile
+
+    from zebra_spark.operators.zfile import read_zebra_files, write_zebra_files
+    from zebra_spark.operators.zschema import BINARY_TABLE_META
+
+    docs = _load(spark, sf_dir, "documents").orderBy("doc_id").coalesce(1)
+    df = docs.select(
+        F.concat(F.col("text"), F.lit("\x00")).alias(
+            "value", metadata={BINARY_TABLE_META: True}
+        )
+    )
+    out = tempfile.mkdtemp(prefix="zs_zbin_")
+    try:
+        manifest = write_zebra_files(df, out, rows_per_block=64).collect()
+        back = read_zebra_files(spark, [r["path"] for r in manifest])
+        return (
+            back.select(
+                F.explode(F.split(F.col("value"), "\x00")).alias("line")
+            )
+            .filter(F.col("line") != "")
+            .select(F.md5(F.col("line")).alias("h"))
+            .orderBy("h")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_codec_metrics(spark, sf_dir):
     """Per-column lineage / codec-choice metrics (north rule): one row per
     (block, column) with the selector's decision and stats."""
@@ -962,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "codec_metrics": _q_codec_metrics,
             "ztxt_roundtrip": _q_ztxt_roundtrip,
             "zebra_file_roundtrip": _q_zebra_file_roundtrip,
+            "zfile_map_table": _q_zfile_map_table,
+            "zfile_binary_table": _q_zfile_binary_table,
             "ivf_ann_exhaustive": _q_ivf_ann_exhaustive,
             "ivf_ann_topk": _q_ivf_ann_topk,
             "sessionize": _q_sessionize,
@@ -1099,6 +1165,12 @@ def oracle_sql() -> dict[str, str]:
             "n_chars AS date_days FROM documents"
         ),
         "zebra_file_roundtrip": "SELECT * FROM orders",
+        "zfile_map_table": (
+            "SELECT c_custkey AS key, c_name AS value FROM customer ORDER BY key"
+        ),
+        "zfile_binary_table": (
+            "SELECT md5(text) AS h FROM documents ORDER BY h"
+        ),
         "blocks_summary": (
             "SELECT COUNT(*) AS total_rows, TRUE AS capped, "
             "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key FROM orders"

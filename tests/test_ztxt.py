@@ -156,3 +156,27 @@ def test_ztxt_value_roundtrip_property(spark, tmp_path):
     ]
     back = [parse(render(r)) for r in rows]
     assert back == rows
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.integers(min_value=0, max_value=44174591999999999))
+@settings(max_examples=300, deadline=None)
+def test_ztime_microseconds_roundtrip_property(us):
+    """render -> parse is the identity on the full zebra Time range
+    (microseconds since 1600-03-01; Time.hs:171-178 bounds)."""
+    assert parse_ztime(render_ztime(us, "time_microseconds"),
+                       "time_microseconds") == us
+
+
+@given(st.integers(min_value=0, max_value=511279))
+@settings(max_examples=300, deadline=None)
+def test_zdate_roundtrip_property(days):
+    assert parse_zdate(render_zdate(days)) == days
+
+
+@given(st.integers(min_value=0, max_value=44174591999))
+@settings(max_examples=200, deadline=None)
+def test_ztime_seconds_roundtrip_property(s):
+    assert parse_ztime(render_ztime(s, "time_seconds"), "time_seconds") == s

@@ -133,11 +133,15 @@ def render_ztime(v: int, unit: str) -> str:
     mm, ss = divmod(r, 60)
     out = f"{d.year:04d}-{d.month:02d}-{d.day:02d} {hh:02d}:{mm:02d}:{ss:02d}"
     if us:
-        # shortest digits of the microsecond double, leading '0' dropped —
-        # e.g. 790000 -> ".79" (renderCalendarTime, Time.hs:686-697);
-        # Python repr and Haskell showFFloat Nothing both print the
-        # shortest decimal that round-trips the same float64
-        out += repr(us / 1e6)[1:]
+        # shortest digits of the microsecond double in POSITIONAL notation,
+        # leading '0' dropped — e.g. 790000 -> ".79", 10 -> ".00001"
+        # (renderCalendarTime, Time.hs:686-697).  showFFloat Nothing prints
+        # the shortest round-tripping decimal and never uses scientific
+        # form; numpy's unique positional format is the same algorithm
+        # (repr() is NOT — it flips to 1e-05 below 1e-4).
+        import numpy as _np
+
+        out += _np.format_float_positional(us / 1e6, unique=True, trim="-")[1:]
     return out
 
 
