@@ -180,3 +180,49 @@ def test_zdate_roundtrip_property(days):
 @settings(max_examples=200, deadline=None)
 def test_ztime_seconds_roundtrip_property(s):
     assert parse_ztime(render_ztime(s, "time_seconds"), "time_seconds") == s
+
+
+MERGE_ROOT = "/root/reference/zebra-cli/test/cli/merge"
+
+
+@pytest.mark.parametrize("case", ["t01-same", "t02-different"])
+def test_reference_golden_merge(spark, tmp_path, case):
+    """The reference's own CLI merge golden cases, verbatim: import two
+    ztxt Map tables (t02's value structs DIFFER — union must widen
+    recursively, filling cash=0 / item=none defaults per the per-node
+    AllowDefault), merge by key, export, compare schema + data."""
+    base = f"{MERGE_ROOT}/{case}"
+    b0, b1, merged = (str(tmp_path / d) for d in ("b0", "b1", "merged"))
+    schemas = (
+        (f"{base}/input.zschema", f"{base}/input.zschema")
+        if case == "t01-same"
+        else (f"{base}/input0.zschema", f"{base}/input1.zschema")
+    )
+    _run(["import", "--input", f"{base}/input0.ztxt", "--schema", schemas[0],
+          "--output", b0])
+    _run(["import", "--input", f"{base}/input1.ztxt", "--schema", schemas[1],
+          "--output", b1])
+    _run(["merge", "--inputs", f"{b0},{b1}", "--keys", "key",
+          "--output", merged])
+
+    text = open(f"{base}/expected").read()
+    exp_schema = json.loads(
+        text.split("=== Schema ===", 1)[1].split("=== Data ===", 1)[0]
+    )
+    exp_lines = [
+        ln
+        for ln in text.split("=== Data ===", 1)[1].splitlines()
+        if ln.strip()
+    ]
+
+    got_schema = json.loads(_run(["export", "--input", merged, "--schema-stdout"]))
+    assert got_schema == exp_schema
+
+    got_lines = [
+        ln
+        for ln in _run(["export", "--input", merged, "--output-stdout"]).splitlines()
+        if ln.strip()
+    ]
+    assert len(got_lines) == len(exp_lines)
+    for g, e in zip(got_lines, exp_lines):
+        assert json.loads(g) == json.loads(e), (g, e)

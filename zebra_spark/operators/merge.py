@@ -49,7 +49,10 @@ def _default_for(dtype: T.DataType):
         return F.map_from_arrays(F.array(), F.array()).cast(dtype)
     if isinstance(dtype, T.StructType):
         return F.struct(
-            *[_default_for(f.dataType).alias(f.name) for f in dtype.fields]
+            *[
+                _default_for(f.dataType).alias(f.name, metadata=f.metadata or {})
+                for f in dtype.fields
+            ]
         )
     return F.lit(None).cast(dtype)
 
@@ -115,20 +118,58 @@ def transmute(
     cols = []
     for f in target.fields:
         if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            adapted = _adapt_col(
+                F.col(f.name), have[f.name].dataType, f.dataType,
+                allow_default if not isinstance(allow_default, dict) else True,
+                f.name,
+            )
+            cols.append(adapted.alias(f.name, metadata=f.metadata or {}))
             continue
         if isinstance(allow_default, dict):
             ok = allow_default.get(f.name, field_allows_default(f))
         else:
             ok = allow_default and field_allows_default(f)
         if ok:
-            cols.append(_default_for(f.dataType).alias(f.name))
+            cols.append(
+                _default_for(f.dataType).alias(f.name, metadata=f.metadata or {})
+            )
         else:
             raise ValueError(
                 f"transmute: missing column {f.name} and defaults not allowed "
                 "(DenyDefault)"
             )
     return df.select(*cols)
+
+
+def _adapt_col(col, have: T.DataType, want: T.DataType, allow_default: bool, path: str):
+    """Adapt a column to a (possibly WIDER) nested type — zebra transmute
+    recurses into structs (Striped.hs:782-882): target subfields missing
+    from the source fill with their defaults when their own per-node
+    Default allows (Data.hs:120-123)."""
+    if have == want:
+        return col
+    if isinstance(have, T.StructType) and isinstance(want, T.StructType):
+        have_by = {f.name: f for f in have.fields}
+        parts = []
+        for wf in want.fields:
+            if wf.name in have_by:
+                parts.append(
+                    _adapt_col(
+                        col[wf.name], have_by[wf.name].dataType, wf.dataType,
+                        allow_default, f"{path}.{wf.name}",
+                    ).alias(wf.name, metadata=wf.metadata or {})
+                )
+            elif allow_default and field_allows_default(wf):
+                parts.append(
+                    _default_for(wf.dataType).alias(wf.name, metadata=wf.metadata or {})
+                )
+            else:
+                raise ValueError(
+                    f"transmute: missing nested field {path}.{wf.name} and "
+                    "defaults not allowed (DenyDefault)"
+                )
+        return F.struct(*parts)
+    return col.cast(want)
 
 
 def schema_union(a: T.StructType, b: T.StructType) -> T.StructType:
@@ -138,18 +179,10 @@ def schema_union(a: T.StructType, b: T.StructType) -> T.StructType:
     (Schema.hs:476-533 — the other side must be fillable)."""
     fields = {f.name: f for f in a.fields}
     b_names = {f.name for f in b.fields}
-    out = list(a.fields)
-    for f in b.fields:
-        if f.name in fields:
-            if fields[f.name].dataType != f.dataType:
-                raise ValueError(
-                    f"schema union: column {f.name} has incompatible types "
-                    f"{fields[f.name].dataType} vs {f.dataType}"
-                )
-            if is_reversed(fields[f.name]) != is_reversed(f):
-                raise ValueError(
-                    f"schema union: column {f.name} disagrees on Reversed"
-                )
+    out = []
+    for f in a.fields:
+        if f.name in b_names:
+            out.append(_union_field(f, next(x for x in b.fields if x.name == f.name)))
         else:
             if not field_allows_default(f):
                 raise ValueError(
@@ -157,13 +190,48 @@ def schema_union(a: T.StructType, b: T.StructType) -> T.StructType:
                     "missing from one input"
                 )
             out.append(f)
-    for f in a.fields:
-        if f.name not in b_names and not field_allows_default(f):
-            raise ValueError(
-                f"schema union: column {f.name} is DenyDefault but "
-                "missing from one input"
-            )
+    for f in b.fields:
+        if f.name not in fields:
+            if not field_allows_default(f):
+                raise ValueError(
+                    f"schema union: column {f.name} is DenyDefault but "
+                    "missing from one input"
+                )
+            out.append(f)
     return T.StructType(out)
+
+
+def _union_field(fa: T.StructField, fb: T.StructField) -> T.StructField:
+    """Least upper bound of one same-named field pair.  Plain STRUCT types
+    union RECURSIVELY (zebra's union is node-wise — Schema.hs:401-533: a
+    subfield present on one side only joins when it is AllowDefault); enum
+    structs (zebra.enum metadata) and every other type must match exactly;
+    Reversed must agree."""
+    if is_reversed(fa) != is_reversed(fb):
+        raise ValueError(f"schema union: column {fa.name} disagrees on Reversed")
+    a_enum = "zebra.enum" in (fa.metadata or {})
+    b_enum = "zebra.enum" in (fb.metadata or {})
+    if a_enum or b_enum:
+        if fa.dataType != fb.dataType or (fa.metadata or {}).get("zebra.enum") != (
+            fb.metadata or {}
+        ).get("zebra.enum"):
+            raise ValueError(
+                f"schema union: enum column {fa.name} variants must match exactly"
+            )
+        return fa
+    if fa.dataType == fb.dataType:
+        return fa
+    if isinstance(fa.dataType, T.StructType) and isinstance(fb.dataType, T.StructType):
+        return T.StructField(
+            fa.name,
+            schema_union(fa.dataType, fb.dataType),
+            fa.nullable or fb.nullable,
+            fa.metadata,
+        )
+    raise ValueError(
+        f"schema union: column {fa.name} has incompatible types "
+        f"{fa.dataType} vs {fb.dataType}"
+    )
 
 
 def union_tables(dfs: list[DataFrame]) -> DataFrame:
@@ -283,6 +351,20 @@ def merge_tables(
     )
     merged = u.groupBy(*key_cols).agg(
         *aggs, F.sum(size_expr).alias("__row_bytes")
+    )
+    # groupBy/agg drops top-level StructField metadata; restore it from the
+    # widened union schema so downstream zschema export / blocks stay
+    # schema-faithful (nested metadata rides inside the dataType already)
+    by_name = {f.name: f for f in u.schema.fields}
+    merged = merged.select(
+        *[
+            F.col(c.name).alias(
+                c.name, metadata=(by_name.get(c.name) and by_name[c.name].metadata) or {}
+            )
+            if c.name in by_name
+            else F.col(c.name)
+            for c in merged.schema.fields
+        ]
     )
     if max_row_bytes is None:
         return merged.drop("__row_bytes"), merged.limit(0).select(
