@@ -202,8 +202,10 @@ def test_reference_golden_merge(spark, tmp_path, case):
           "--output", b0])
     _run(["import", "--input", f"{base}/input1.ztxt", "--schema", schemas[1],
           "--output", b1])
+    # --output-v3 writes real ||ZEBRA||00003|| files, exactly the
+    # reference script ($ZEBRA merge ... --output-v3); export reads them
     _run(["merge", "--inputs", f"{b0},{b1}", "--keys", "key",
-          "--output", merged])
+          "--output", merged, "--output-v3"])
 
     text = open(f"{base}/expected").read()
     exp_schema = json.loads(

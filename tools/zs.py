@@ -41,8 +41,25 @@ def _spark(args):
 
 
 def _read_blocks(spark, path):
+    """(blocks_frame_or_None, decoded_df) for a blocks-parquet dir OR a
+    directory of `||ZEBRA||00003||` files / a single .zebra file (the
+    reference CLI operates on zbin files directly; so do we)."""
+    import glob as _glob
+
     from zebra_spark.operators.decode import decode_df
 
+    zfiles = (
+        [path]
+        if path.endswith(".zebra") or path.endswith(".zbin")
+        else sorted(
+            _glob.glob(os.path.join(path, "*.zebra"))
+            + _glob.glob(os.path.join(path, "*.zbin"))
+        )
+    )
+    if zfiles:
+        from zebra_spark.operators.zfile import read_zebra_files
+
+        return None, read_zebra_files(spark, zfiles)
     blocks = spark.read.parquet(path)
     # stored blocks may have been shuffled: resolve schema ids up front
     return blocks, decode_df(blocks, resolve_schemas=True)
@@ -62,9 +79,24 @@ def cmd_import(args):
             df = read_ztxt(spark, args.input, f.read())
     else:
         df = import_json(spark, args.input, schema=args.schema)
+    if args.output_v3:
+        _write_v3(df, args.output, args.rows_per_block)
+        print(json.dumps({"imported_rows": df.count(), "output": args.output}))
+        return
     blocks = encode_df(df, rows_per_block=args.rows_per_block)
     blocks.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"imported_rows": df.count(), "output": args.output}))
+
+
+def _write_v3(df, out_dir, rows_per_block):
+    """Write a directory of `||ZEBRA||00003||` files (zebra import/merge
+    --output-v3 parity)."""
+    import shutil
+
+    from zebra_spark.operators.zfile import write_zebra_files
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_zebra_files(df, out_dir, rows_per_block=rows_per_block).collect()
 
 
 def cmd_export(args):
@@ -122,6 +154,25 @@ def cmd_merge(args):
     dfs = [_read_blocks(spark, p)[1] for p in args.inputs.split(",")]
     keys = args.keys.split(",")
     merged, dropped = merge_tables(dfs, keys, max_row_bytes=args.max_row_bytes)
+    if args.output_v3:
+        # sort by the merge key so V3 map-table blocks hold ascending keys
+        from zebra_spark.operators.merge import sort_exprs
+
+        _write_v3(
+            merged.orderBy(*sort_exprs(merged.schema, keys)).coalesce(1),
+            args.output,
+            args.rows_per_block,
+        )
+        print(
+            json.dumps(
+                {
+                    "merged_keys": merged.count(),
+                    "dropped_keys": dropped.count(),
+                    "output": args.output,
+                }
+            )
+        )
+        return
     encode_df(merged, rows_per_block=args.rows_per_block).write.mode(
         "overwrite"
     ).parquet(args.output)
@@ -280,6 +331,8 @@ def main(argv=None):
         help="schema DDL/json, or a .zschema file (selects the ztxt value codec)",
     )
     p.add_argument("--rows-per-block", type=int, default=1 << 16)
+    p.add_argument("--output-v3", action="store_true",
+                   help="write ||ZEBRA||00003|| files instead of parquet blocks")
     p.set_defaults(fn=cmd_import)
 
     p = sub.add_parser("export", help="blocks -> line-JSON or reference ztxt")
@@ -304,6 +357,8 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--max-row-bytes", type=int, default=None)
     p.add_argument("--rows-per-block", type=int, default=1 << 16)
+    p.add_argument("--output-v3", action="store_true",
+                   help="write ||ZEBRA||00003|| files (zebra merge --output-v3)")
     p.set_defaults(fn=cmd_merge)
 
     p = sub.add_parser("adapt", help="transmute blocks to a target .zschema")
