@@ -228,3 +228,69 @@ def test_reference_golden_merge(spark, tmp_path, case):
     assert len(got_lines) == len(exp_lines)
     for g, e in zip(got_lines, exp_lines):
         assert json.loads(g) == json.loads(e), (g, e)
+
+
+def test_ztxt_parse_rejects_malformed():
+    """Value-layer negatives: wrong variant, missing struct field, bad
+    base64, malformed time — each must raise, never coerce silently
+    (pValue is total over the schema, Json/Logical.hs:176-215)."""
+    from zebra_spark.operators.ztxt import _parse_col
+
+    enum_node = {"enum": {"variants": [
+        {"name": "none", "schema": {"unit": {}}},
+        {"name": "some", "schema": {"int": {}}},
+    ]}}
+    p = _parse_col(enum_node)
+    with pytest.raises(ValueError, match="unknown enum variant"):
+        p({"other": 1})
+    with pytest.raises(ValueError):
+        p({"none": {}, "some": 1})  # two keys is not a variant object
+    with pytest.raises(ValueError):
+        p({"none": 5})  # unit payload must be {}
+
+    struct_p = _parse_col({"struct": {"fields": [
+        {"name": "a", "schema": {"int": {}}},
+        {"name": "b", "schema": {"double": {}}},
+    ]}})
+    with pytest.raises(ValueError, match="missing struct field"):
+        struct_p({"a": 1})
+    with pytest.raises(ValueError):  # int field given a string
+        struct_p({"a": "x", "b": 1.0})
+
+    bin_p = _parse_col({"binary": {}})
+    with pytest.raises(Exception):
+        bin_p("not//valid--base64!!")
+
+    time_p = _parse_col({"int": {"encoding": {"time": {"interval": {"seconds": {}}}}}})
+    with pytest.raises(ValueError):
+        time_p("2017-13-40 99:99:99")
+    with pytest.raises(ValueError):
+        time_p("2017-01-01")  # date where time expected (no time-of-day)
+
+
+def test_nested_union_deny_default_refuses(spark):
+    """A nested subfield marked DenyDefault cannot be filled during
+    widening — both schema_union and transmute must refuse."""
+    from pyspark.sql import types as T
+
+    from zebra_spark.operators.merge import schema_union, transmute
+
+    inner_a = T.StructType([T.StructField("x", T.LongType())])
+    inner_b = T.StructType([
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType(), True, {"zebra.default": "deny"}),
+    ])
+    a = T.StructType([T.StructField("v", inner_a)])
+    b = T.StructType([T.StructField("v", inner_b)])
+    with pytest.raises(ValueError, match="DenyDefault"):
+        schema_union(a, b)
+    df = spark.createDataFrame([((1,),)], a)
+    with pytest.raises(ValueError, match="DenyDefault"):
+        transmute(df, b)
+    # allow-default subfield widens fine and fills 0
+    inner_ok = T.StructType([
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+    ])
+    widened = transmute(df, T.StructType([T.StructField("v", inner_ok)]))
+    assert widened.collect()[0]["v"].asDict() == {"x": 1, "y": 0}
