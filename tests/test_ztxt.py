@@ -294,3 +294,102 @@ def test_nested_union_deny_default_refuses(spark):
     ])
     widened = transmute(df, T.StructType([T.StructField("v", inner_ok)]))
     assert widened.collect()[0]["v"].asDict() == {"x": 1, "y": 0}
+
+
+# --- random-schema ztxt roundtrip (Test/Zebra/Serial/Text/Striped.hs
+# prop_roundtrip_table analogue): generate a random SchemaV1 column tree +
+# values in the engine layout; render -> parse must be the identity.
+
+_name_st = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+
+
+def _col_node(depth: int):
+    leaf = st.one_of(
+        st.just({"int": {}}),
+        st.just({"double": {}}),
+        st.just({"binary": {"encoding": {"utf8": {}}}}),
+        st.just({"binary": {}}),
+        st.just({"int": {"encoding": {"date": {}}}}),
+        st.just({"int": {"encoding": {"time": {"interval": {"microseconds": {}}}}}}),
+    )
+    if depth <= 0:
+        return leaf
+    sub = _col_node(depth - 1)
+
+    def uniq_fields(pairs):
+        seen, out = set(), []
+        for n, sch in pairs:
+            if n not in seen:
+                seen.add(n)
+                out.append({"name": n, "schema": sch})
+        return out
+
+    struct = st.lists(st.tuples(_name_st, sub), min_size=1, max_size=3).map(
+        lambda ps: {"struct": {"fields": uniq_fields(ps)}}
+    )
+    enum = st.lists(
+        st.tuples(_name_st, st.one_of(st.just({"unit": {}}), sub)),
+        min_size=1, max_size=3,
+    ).map(lambda ps: {"enum": {"variants": uniq_fields(ps)}})
+    arr = sub.map(lambda s: {"array": {"element": s}})
+    return st.one_of(leaf, struct, enum, arr)
+
+
+def _value_for(node, draw):
+    from zebra_spark.operators.ztxt import _variant, py_default
+
+    name, val = _variant(node, "gen")
+    if name == "int":
+        enc = val.get("encoding")
+        if enc and "date" in enc:
+            return draw(st.integers(min_value=0, max_value=511279))
+        if enc and "time" in enc:
+            return draw(st.integers(min_value=0, max_value=44174591999999999))
+        return draw(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    if name == "double":
+        return draw(st.floats(allow_nan=False, allow_infinity=False))
+    if name == "binary":
+        if "encoding" in val:
+            return draw(st.text(max_size=12))
+        return bytes(draw(st.binary(max_size=12)))
+    if name == "struct":
+        return {f["name"]: _value_for(f["schema"], draw) for f in val["fields"]}
+    if name == "enum":
+        variants = val["variants"]
+        if [x["name"] for x in variants] == ["false", "true"] and all(
+            "unit" in x["schema"] for x in variants
+        ):
+            return draw(st.booleans())
+        i = draw(st.integers(min_value=0, max_value=len(variants) - 1))
+        out = {"tag": i}
+        for j, x in enumerate(variants):
+            if "unit" in x["schema"]:
+                continue
+            out[f"v_{x['name']}"] = (
+                _value_for(x["schema"], draw) if j == i else py_default(x["schema"])
+            )
+        return out
+    if name == "array":
+        n = draw(st.integers(min_value=0, max_value=3))
+        return [_value_for(val["element"], draw) for _ in range(n)]
+    raise AssertionError(name)
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_ztxt_random_schema_roundtrip(data):
+    from zebra_spark.operators.ztxt import line_parser, line_renderer
+
+    fields = data.draw(
+        st.lists(st.tuples(_name_st, _col_node(2)), min_size=1, max_size=4)
+    )
+    seen, uniq = set(), []
+    for n, sch in fields:
+        if n not in seen:
+            seen.add(n)
+            uniq.append({"name": n, "schema": sch})
+    node = {"array": {"element": {"struct": {"fields": uniq}}}}
+    render, parse = line_renderer(node), line_parser(node)
+    for _ in range(3):
+        row = {f["name"]: _value_for(f["schema"], data.draw) for f in uniq}
+        assert parse(render(row)) == row
