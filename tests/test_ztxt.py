@@ -56,14 +56,17 @@ def _run(argv: list[str]) -> str:
     return buf.getvalue()
 
 
+@pytest.mark.parametrize("backend", ["blocks", "v3"])
 @pytest.mark.parametrize("case", CASES)
-def test_reference_golden_import_export_summary(spark, tmp_path, case):
+def test_reference_golden_import_export_summary(spark, tmp_path, case, backend):
+    """backend=v3 is the VERBATIM reference script flow: import to real
+    ||ZEBRA||00003|| files, then export/summary directly on them."""
     base = f"{GOLDEN_ROOT}/{case}"
     blocks = str(tmp_path / "blocks")
     _run([
         "import", "--input", f"{base}/input.ztxt",
         "--schema", f"{base}/input.zschema", "--output", blocks,
-    ])
+    ] + (["--output-v3"] if backend == "v3" else []))
     exp_schema, exp_data, exp_summary = _parse_expected(f"{base}/expected")
 
     # --- schema: zebra export --schema-stdout

@@ -204,9 +204,24 @@ def cmd_adapt(args):
 
 
 def cmd_summary(args):
+    import glob as _glob
+
     from zebra_spark.plans.summary import blocks_summary
 
     spark = _spark(args)
+    zfiles = (
+        [args.input]
+        if args.input.endswith((".zebra", ".zbin"))
+        else sorted(
+            _glob.glob(os.path.join(args.input, "*.zebra"))
+            + _glob.glob(os.path.join(args.input, "*.zbin"))
+        )
+    )
+    if zfiles:
+        from zebra_spark.plans.summary import v3_summary
+
+        print(json.dumps(v3_summary(spark, zfiles), default=str))
+        return
     blocks = spark.read.parquet(args.input)
     row = blocks_summary(blocks).collect()[0]
     out = {k: row[k] for k in row.asDict()}

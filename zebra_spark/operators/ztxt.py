@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import base64
 import json
-from datetime import date, timedelta
+from datetime import date, datetime, timedelta
 
 import pyarrow as pa
 
@@ -321,8 +321,26 @@ def _render_col(node: dict):
         if enc == "int":
             return int
         if enc == "date":
-            return render_zdate
-        return lambda v: render_ztime(v, enc)
+            # values arrive as zebra day counts (the engine layout) OR as
+            # Spark DateType objects (zfile readers revive int+date headers
+            # to temporals)
+            def r(v):
+                if isinstance(v, date):
+                    return render_zdate((v - ZEBRA_EPOCH).days)
+                return render_zdate(v)
+            return r
+
+        def r(v):
+            if isinstance(v, datetime):
+                days = (v.date() - ZEBRA_EPOCH).days
+                us = (
+                    days * 86_400_000_000
+                    + ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000
+                    + v.microsecond
+                )
+                return render_ztime(us // _UNIT_US[enc], enc)
+            return render_ztime(v, enc)
+        return r
     if name == "double":
         return float
     if name == "binary":

@@ -116,3 +116,91 @@ def binary_block_byte_counts(blocks: DataFrame) -> DataFrame:
     return blocks.select("block_id", "schema_id", "payload").mapInArrow(
         run, schema="block_id string, n_bytes long"
     )
+
+
+def v3_summary(spark, paths: list[str]) -> dict:
+    """zebra `summary` over ``||ZEBRA||00003||`` files (Command/Summary.hs:
+    64-100 parity): one task per file STREAMS its blocks (bounded reader)
+    and emits a per-file partial; the handful of per-file rows reduce
+    driver-side.  Binary tables count BYTES as rows; Map tables report
+    first/last key rendered as ztxt JSON."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from ..operators import ztxt as _zt
+    from ..operators.zfile import _table_kind_of, open_zebra_stream
+    from ..operators.zschema import struct_to_zschema
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, len(paths))
+    )
+
+    def run(batches):
+        for rb in batches:
+            for p in rb.column("path").to_pylist():
+                with open(p, "rb") as f:
+                    schema, blocks, _ = open_zebra_stream(f)
+                    kind = _table_kind_of(schema)
+                    render = None
+                    if kind == "map":
+                        node = struct_to_zschema(schema)
+                        _, val = _zt._variant(node, "table")
+                        render = _zt._render_col(val["key"])
+                    nb = nr = mx = 0
+                    fk = lk = None
+                    for b in blocks:
+                        if kind == "binary":
+                            n = int(
+                                pa.compute.sum(
+                                    pa.compute.binary_length(b.column("value"))
+                                ).as_py()
+                                or 0
+                            )
+                        else:
+                            n = b.num_rows
+                        nb += 1
+                        nr += n
+                        mx = max(mx, n)
+                        if kind == "map" and b.num_rows:
+                            if fk is None:
+                                fk = render(b.column("key")[0].as_py())
+                            lk = render(b.column("key")[b.num_rows - 1].as_py())
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "path": [p],
+                        "n_blocks": [nb],
+                        "n_rows": [nr],
+                        "max_rows": [mx],
+                        "first_key": [None if fk is None else _json.dumps(
+                            fk, separators=(",", ":"), sort_keys=True,
+                            ensure_ascii=False)],
+                        "last_key": [None if lk is None else _json.dumps(
+                            lk, separators=(",", ":"), sort_keys=True,
+                            ensure_ascii=False)],
+                    }
+                )
+
+    rows = pdf.mapInArrow(
+        run,
+        schema="path string, n_blocks long, n_rows long, max_rows long, "
+        "first_key string, last_key string",
+    ).collect()
+    out = {
+        "block_count": sum(r["n_blocks"] for r in rows),
+        "row_count": sum(r["n_rows"] for r in rows),
+        "max_rows_per_block": max((r["max_rows"] for r in rows), default=0),
+        "first_key": "<file is not a map>",
+        "last_key": "<file is not a map>",
+    }
+    keyed = [r for r in rows if r["first_key"] is not None]
+    if keyed:
+        def sort_key(js):
+            v = __import__("json").loads(js)
+            if isinstance(v, dict):
+                return tuple(v[k] for k in sorted(v))
+            return (v,)
+
+        out["first_key"] = min((r["first_key"] for r in keyed), key=sort_key)
+        out["last_key"] = max((r["last_key"] for r in keyed), key=sort_key)
+    return out
