@@ -90,11 +90,19 @@ def cmd_import(args):
 
 def _write_v3(df, out_dir, rows_per_block):
     """Write a directory of `||ZEBRA||00003||` files (zebra import/merge
-    --output-v3 parity)."""
+    --output-v3 parity).  Map tables are range-sorted by key first —
+    zebra's Logical.Map is an ordered map (decodeLogical sorts via
+    Map.fromList), and each range partition becomes one internally-sorted
+    file, so the per-block ascending-keys invariant holds at any input
+    order."""
     import shutil
 
     from zebra_spark.operators.zfile import write_zebra_files
+    from zebra_spark.operators.zschema import MAP_TABLE_META
 
+    fields = df.schema.fields
+    if fields and (fields[0].metadata or {}).get(MAP_TABLE_META):
+        df = df.orderBy("key")
     shutil.rmtree(out_dir, ignore_errors=True)
     write_zebra_files(df, out_dir, rows_per_block=rows_per_block).collect()
 
@@ -155,14 +163,9 @@ def cmd_merge(args):
     keys = args.keys.split(",")
     merged, dropped = merge_tables(dfs, keys, max_row_bytes=args.max_row_bytes)
     if args.output_v3:
-        # sort by the merge key so V3 map-table blocks hold ascending keys
-        from zebra_spark.operators.merge import sort_exprs
-
-        _write_v3(
-            merged.orderBy(*sort_exprs(merged.schema, keys)).coalesce(1),
-            args.output,
-            args.rows_per_block,
-        )
+        # _write_v3 range-sorts map tables by key (each range partition
+        # becomes one internally-sorted file — no single-file bottleneck)
+        _write_v3(merged, args.output, args.rows_per_block)
         print(
             json.dumps(
                 {
@@ -197,6 +200,10 @@ def cmd_adapt(args):
     with open(args.schema) as f:
         target = from_zschema(f.read())
     out = transmute(df, target, allow_default=not args.deny_default)
+    if args.output_v3:
+        _write_v3(out, args.output, args.rows_per_block)
+        print(json.dumps({"adapted_rows": out.count(), "output": args.output}))
+        return
     encode_df(out, rows_per_block=args.rows_per_block).write.mode(
         "overwrite"
     ).parquet(args.output)
@@ -382,6 +389,8 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--deny-default", action="store_true")
     p.add_argument("--rows-per-block", type=int, default=1 << 16)
+    p.add_argument("--output-v3", action="store_true",
+                   help="write ||ZEBRA||00003|| files instead of parquet blocks")
     p.set_defaults(fn=cmd_adapt)
 
     p = sub.add_parser("summary", help="one-line JSON blocks summary")
