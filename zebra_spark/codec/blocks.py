@@ -247,7 +247,7 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
     ) or pa.types.is_large_binary(t):
         lengths, concat = _binary_parts(arr)
         null_free = pc.fill_null(arr, b"" if not pa.types.is_string(t) else "") if arr.null_count else arr
-        c, p, m = encode_strings(lengths, concat, arrow_array=null_free)
+        c, p, m = encode_strings(lengths, concat, arrow_array=null_free, probe_key=path)
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path, m)

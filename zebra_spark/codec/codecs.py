@@ -603,6 +603,9 @@ _FSST_DECODE_BUDGET = 4.0  # sample decode may cost at most 4x snappy's
 # ~2x pfor on token streams), so it must win by >5% on size to be chosen
 _DECODE_HANDICAP = {IntCodec.DELTA: 1.05}
 
+# probe-gate decisions per column path: {key: (fsst_worth, uses_left)}
+_FSST_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
+
 
 def _probe_decode_ok(sample: bytes, fsst_probe: bytes) -> bool:
     """Measure the 64 KB sample's decode cost: FSST symbol expansion vs the
@@ -631,12 +634,20 @@ def encode_strings(
     concat: bytes,
     allow: set[int] | None = None,
     arrow_array=None,
+    probe_key: str | None = None,
 ):
     """Select + encode a string column. Returns ``(codec_id, payload, meta)``.
 
     ``arrow_array``: optional null-free arrow binary array of the same
     strings; when present the DICT candidate uses Arrow's vectorized
     ``dictionary_encode`` instead of a Python split loop.
+
+    ``probe_key``: stable column identity (e.g. the block column path).
+    The FSST auto-probe costs ~0.25 s per 64 KB sample, so its GATE
+    decision is cached per column and re-validated every 64 blocks — at
+    100 TB the probe would otherwise re-run for every block of the same
+    column.  Only the gate is cached; the <= zebra bound still compares
+    actual candidate sizes per block.
     """
     lengths = np.ascontiguousarray(lengths, dtype=_I64)
     n = len(lengths)
@@ -671,6 +682,14 @@ def encode_strings(
     fsst_forced = allow is not None and StrCodec.FSST in allow
     aggressive = os.environ.get("ZS_FSST", "") == "aggressive"
     avg_len = len(concat) / n if n else 0
+    cached = _FSST_PROBE_CACHE.get(probe_key) if probe_key else None
+    if cached is not None and cached[1] > 0:
+        _FSST_PROBE_CACHE[probe_key] = (cached[0], cached[1] - 1)
+        if cached[0] and len(concat) <= (4 << 20):
+            fsst_worth = True
+        probe_allowed = False
+    else:
+        probe_allowed = True
     fsst_worth = (
         len(concat) >= 256
         and len(concat) <= (4 << 20)
@@ -680,7 +699,8 @@ def encode_strings(
         )
     )
     if (
-        allowed(StrCodec.FSST)
+        probe_allowed
+        and allowed(StrCodec.FSST)
         and not (fsst_forced or fsst_worth or aggressive)
         and len(concat) >= (64 << 10)
         and avg_len >= 64
@@ -697,11 +717,15 @@ def encode_strings(
         # ZS_CODEC_POLICY=speed disables the auto-probe entirely.
         sample = concat[: 64 << 10]
         probe = _fsst.compress(sample)
+        decision = False
         if probe is not None:
             best_ratio = len(best[1]) / (len(concat) + 8 * n)
             if len(probe) / len(sample) < 0.8 * best_ratio:
                 if _CODEC_POLICY == "size" or _probe_decode_ok(sample, probe):
+                    decision = True
                     fsst_worth = len(concat) <= (4 << 20)
+        if probe_key:
+            _FSST_PROBE_CACHE[probe_key] = (decision, 63)
 
     if allowed(StrCodec.FSST) and len(concat) >= 256 and (fsst_forced or fsst_worth):
         fs = _fsst.compress(concat)
