@@ -396,3 +396,17 @@ def test_ztxt_random_schema_roundtrip(data):
     for _ in range(3):
         row = {f["name"]: _value_for(f["schema"], data.draw) for f in uniq}
         assert parse(render(row)) == row
+
+
+def test_binary_table_import_rejects_invalid_utf8(spark, tmp_path):
+    """A Binary table with utf8 encoding must REJECT malformed bytes on
+    import (validateBinary, Text/Logical.hs:96-101) — Spark's decode
+    raises on malformed input rather than substituting U+FFFD."""
+    p = tmp_path / "bad.ztxt"
+    p.write_bytes(b"ok line\n\xff\xfe broken\n")
+    zschema = '{"version":"v0","schema":{"binary":{"encoding":{"utf8":{}}}}}'
+    from zebra_spark.operators.ztxt import read_ztxt
+
+    df = read_ztxt(spark, str(p), zschema)
+    with pytest.raises(Exception, match="(?i)utf|malformed|invalid"):
+        df.collect()

@@ -603,7 +603,10 @@ _FSST_DECODE_BUDGET = 4.0  # sample decode may cost at most 4x snappy's
 # ~2x pfor on token streams), so it must win by >5% on size to be chosen
 _DECODE_HANDICAP = {IntCodec.DELTA: 1.05}
 
-# probe-gate decisions per column path: {key: (fsst_worth, uses_left)}
+# probe-gate decisions per column path: {key: (fsst_worth, uses_left)}.
+# Spark python workers are REUSED across jobs, so a key can outlive one
+# dataset; the 64-block revalidation bounds any staleness, and the cache
+# only gates the PROBE — per-block size comparison still decides.
 _FSST_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
 
 
