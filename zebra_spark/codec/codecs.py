@@ -155,18 +155,26 @@ def encode_ints(
                         ),
                     )
 
+        # PFoR first: cheap to cost exactly and often the tightest bound,
+        # so the DICT/DELTA sampled skip-gates below compare against the
+        # best candidate so far instead of only zebra — skipping more
+        # full-array planning passes (selector cost, not correctness: the
+        # <=zebra bound is carried by the always-present zebra candidate)
+        if allowed(IntCodec.PFOR) and n >= 256:
+            pfor = _pfor_build(values, zplan)
+            if pfor is not None:
+                size, thunk = pfor
+                candidates[IntCodec.PFOR] = (size, thunk)
+
         if allowed(IntCodec.DICT) and n >= 64:
             dict_pair = _dict_split(values, zplan)
             if dict_pair is not None:
                 uniq, inverse = dict_pair
                 pu = plan_int_array(uniq)
                 # sampled skip-gate: planning the full inverse costs a full
-                # zigzag+max pass; extrapolate its size from slices first.
-                # Gates only SKIP candidates — the <=zebra bound is carried
-                # by the always-present zebra candidate, so this can only
-                # trade a marginal win for a full-array pass, never break
-                # correctness.
-                if _sampled_plan_bytes(inverse) * n + pu.size + 4 < zsize:
+                # zigzag+max pass; extrapolate its size from slices first
+                best_so_far = min(sz for sz, _ in candidates.values())
+                if _sampled_plan_bytes(inverse) * n + pu.size + 4 < best_so_far:
                     pi = plan_int_array(inverse)
                     candidates[IntCodec.DICT] = (
                         4 + pu.size + pi.size,
@@ -176,12 +184,6 @@ def encode_ints(
                             + pack_from_plan(pi)
                         ),
                     )
-
-        if allowed(IntCodec.PFOR) and n >= 256:
-            pfor = _pfor_build(values, zplan)
-            if pfor is not None:
-                size, thunk = pfor
-                candidates[IntCodec.PFOR] = (size, thunk)
 
         if float_view and allowed(IntCodec.ALP) and n >= 64:
             alp = _alp_build(values)
