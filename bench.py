@@ -195,8 +195,11 @@ def headline_queries():
     qs["roundtrip_lineitem"](spark, SF_DIR).count()  # warm workers
     out = {}
     for name in HEADLINE:
+        # retired-from-contract queries (e.g. encode_summary) keep their
+        # private _q_* functions; the HEADLINE set stays comparable
+        fn = qs.get(name) or getattr(entry, f"_q_{name}")
         t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
     return out

@@ -272,3 +272,57 @@ def test_sampled_gates_keep_winners_at_scale():
     assert c2 in (IntCodec.DICT, IntCodec.RLE, IntCodec.PFOR)
     out2, _ = decode_ints(c2, payload2, n, 0)
     assert (out2 == lowcard).all()
+
+
+def test_fsst_probe_cache_positive_fires_every_block(monkeypatch):
+    """r3 ADVICE regression: a cached-POSITIVE probe decision must make
+    every subsequent block of that column attempt FSST (the r3 code
+    recomputed the heuristic after the cache hit and overwrote it, so
+    FSST ran on only 1 of every 64 blocks of a winning column)."""
+    from zebra_spark.codec import codecs
+
+    calls = {"n": 0}
+    real = codecs._fsst.compress
+
+    def counting(data, *a, **k):
+        calls["n"] += 1
+        return real(data, *a, **k)
+
+    monkeypatch.setattr(codecs._fsst, "compress", counting)
+    key = "test://fsst-cache-positive"
+    codecs._FSST_PROBE_CACHE[key] = (True, 63)
+    try:
+        strings = [
+            b"the quick brown fox jumps over the lazy dog %06d" % i
+            for i in range(200)
+        ]
+        lengths, concat = _mk_strings(strings)
+        # heuristic alone would NOT fire here (snappy compresses this well)
+        codec, payload, meta = encode_strings(lengths, concat, probe_key=key)
+        # probe is disallowed on a cache hit, so any compress call is the
+        # full-column FSST attempt gated by the cached decision
+        assert calls["n"] >= 1
+        out_len, out_bytes, _ = decode_strings(codec, payload, len(strings))
+        assert out_bytes == concat and (out_len == lengths).all()
+        # and the use counter ticked down
+        assert codecs._FSST_PROBE_CACHE[key] == (True, 62)
+    finally:
+        codecs._FSST_PROBE_CACHE.pop(key, None)
+
+
+def test_delta_handicap_waived_on_large_size_win(monkeypatch):
+    """r3 verdict item: under the balanced policy DELTA pays a 5% decode
+    handicap, but a column where DELTA is >15% smaller than every
+    unhandicapped candidate gets the handicap waived — the size win buys
+    the extra cumsum pass."""
+    from zebra_spark.codec import codecs
+
+    monkeypatch.setattr(codecs, "_CODEC_POLICY", "balanced")
+    rng = np.random.default_rng(5)
+    # monotonic with ~1000-sized steps: zebra/pfor need ~23 bits for the
+    # absolute range, delta needs ~11 for the steps -> >15% smaller
+    vals = np.cumsum(rng.integers(950, 1050, size=8192)).astype(np.int64)
+    c, payload, meta = encode_ints(vals)
+    assert c == IntCodec.DELTA, IntCodec.NAMES[c]
+    out, _ = decode_ints(c, payload, len(vals))
+    np.testing.assert_array_equal(out, vals)

@@ -72,3 +72,31 @@ def test_golden_decodes_from_constants():
     assert out.tolist() == [5, -3, 0, 7, 123456789, -987654321]
     lengths, data, _ = unpack_strings(bytes.fromhex(GOLDEN_STRINGS_HEX), 8)
     assert data == b"".join(f"doc-{i:03d}".encode() for i in range(8))
+
+
+def test_bp64_bit_order_is_sequential_lsb_first():
+    """Pins the BP64 packed-chunk BIT ORDER to the documented public
+    layout: value i of a 64-value chunk occupies bits [i*k, (i+1)*k) of a
+    little-endian 64-bit-word bitstream — the canonical sequential
+    horizontal layout of Lemire & Boytsov 2012 (arXiv:1209.2137, the
+    integer-compression scheme zebra's README adopts; the reference's own
+    kernel lives in the non-vendored ambiata-anemone lib, so this public
+    layout is normative for our format).  Expected words are hand-derived
+    from the definition, independent of the implementation under test."""
+    from zebra_spark.codec.intcodec import _bp64_pack_group, _bp64_unpack_group
+
+    rng = np.random.default_rng(11)
+    for k in (1, 7, 13, 64):
+        lim = (1 << k) if k < 64 else (1 << 64)
+        vals = rng.integers(0, lim, size=(1, 64), dtype=np.uint64)
+        got = _bp64_pack_group(vals, k)
+        assert got.shape == (1, k)
+        # hand-derive: one big-int bitstream, value i at offset i*k,
+        # then split into little-endian 64-bit words
+        stream = 0
+        for i in range(64):
+            stream |= int(vals[0, i]) << (i * k)
+        want = [(stream >> (64 * w)) & 0xFFFFFFFFFFFFFFFF for w in range(k)]
+        assert [int(x) for x in got[0]] == want, f"k={k}"
+        back = _bp64_unpack_group(got, k)
+        np.testing.assert_array_equal(back, vals)

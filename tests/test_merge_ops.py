@@ -276,3 +276,58 @@ def test_logical_size_exact(spark):
         for r in edf.select(_size_value(F.col("e"), enum_t, md)).collect()
     ]
     assert sizes == [16, 12]  # none: 8+8 (unit); some: 8 + 4 bytes
+
+
+def test_logical_size_enum_inside_array(spark):
+    """r3 ADVICE regression: an enum WITH unit variants nested inside a
+    collection has no outer-field metadata slot, so its layout rides the
+    tag field (enum_schema attaches it); _size_value must honor it —
+    shape inference alone would misread tag indices and sizes."""
+    from pyspark.sql import types as T
+
+    from zebra_spark.functions.enums import UNIT, enum_schema
+    from zebra_spark.operators.merge import _size_value
+
+    enum_t = enum_schema([("none", UNIT), ("some", T.StringType())])
+    # tag metadata carries the layout (unit variant present)
+    assert (enum_t["tag"].metadata or {}).get("zebra.enum")
+    arr_t = T.ArrayType(enum_t, False)
+    df = spark.createDataFrame(
+        [([(0, ""), (1, "abcd")],)],
+        T.StructType([T.StructField("a", arr_t, False)]),
+    )
+    got = df.select(
+        _size_value(F.col("a"), arr_t, None).alias("sz")
+    ).collect()[0]["sz"]
+    # none: 8+8 (unit counts 8); some: 8+4 -> total 28.  Shape inference
+    # (no unit variants) would score tag0 as selecting v_some ("") = 8+0
+    # and tag1 out of range -> wrong total.
+    assert got == 28
+
+
+def test_grouped_encode_metadata_decode_without_schema(spark):
+    """r3 ADVICE regression (high): grouped encode drops group_col from
+    encoded batches, so the stored zebra.spark_schema must drop it too —
+    decode_df WITHOUT an explicit schema crashed on any metadata-bearing
+    grouped encode (the checkpointed_encode + enum/date case)."""
+    from pyspark.sql import types as T
+
+    from zebra_spark.functions.enums import option_to_enum
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+
+    df = spark.range(200).select(
+        F.col("id"),
+        option_to_enum(
+            F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(F.col("id")),
+            T.LongType(),
+        ).alias("opt"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("d", metadata={"zebra.encoding": "date"}),
+        (F.col("id") % 4).cast("int").alias("__unit"),
+    )
+    blocks = encode_df(df, rows_per_block=32, group_col="__unit")
+    rt = decode_df(blocks)  # stored-schema path: must exclude __unit
+    assert [f.name for f in rt.schema.fields] == ["id", "opt", "d"]
+    want = df.drop("__unit")
+    assert rt.exceptAll(want).count() == 0 and want.exceptAll(rt).count() == 0

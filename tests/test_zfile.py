@@ -323,3 +323,37 @@ def test_seconds_milliseconds_time_writes():
     assert got_schema["t_s"].metadata[ENCODING_META] == "time_seconds"
     assert table.column("t_s").to_pylist() == [0, 13154186096]
     assert table.column("t_ms").to_pylist() == [0, 13154186096789]
+
+
+def test_corrupt_block_fails_fast_bounded(tmp_path):
+    """r3 ADVICE regression: a CORRUPT (not truncated) block must fail
+    fast with a bounded buffer instead of slurping the whole remainder of
+    the file into memory before raising."""
+    from zebra_spark.operators.zfile import open_zebra_stream
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    batches = [
+        pa.RecordBatch.from_pydict(
+            {"k": pa.array(list(range(i * 500, (i + 1) * 500)), pa.int64()),
+             "s": pa.array([f"row-{j}" * 8 for j in range(500)], pa.string())}
+        )
+        for i in range(50)
+    ]
+    path = tmp_path / "corrupt.zebra"
+    with open(path, "wb") as f:
+        write_zebra_stream(iter(batches), schema, fileobj=f)
+    data = bytearray(path.read_bytes())
+    # corrupt an early block's row count to an absurd value: every retry
+    # parse keeps failing no matter how much data arrives
+    data[2000:2004] = (0x7FFFFFFF).to_bytes(4, "little")
+    path.write_bytes(bytes(data))
+    cap = 1 << 16
+    with open(path, "rb") as f:
+        _, blocks, rd = open_zebra_stream(f, chunk_bytes=4096)
+        rd.max_block = cap
+        with pytest.raises(ValueError, match="corrupt input"):
+            for b in blocks:
+                pass
+    # buffer never grew past cap + one chunk refill
+    assert rd.max_buffered <= cap + 8192, rd.max_buffered

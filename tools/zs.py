@@ -146,9 +146,16 @@ def cmd_export(args):
 
 def cmd_cat(args):
     spark = _spark(args)
-    _, df = _read_blocks(spark, args.input)
-    if args.columns:
-        df = df.select(*args.columns.split(","))
+    if getattr(args, "blocks", False):
+        # block-metadata manifest (no payload decode)
+        from zebra_spark.plans.summary import block_manifest
+
+        blocks = spark.read.parquet(args.input)
+        df = block_manifest(blocks).orderBy("part_start", "key_min")
+    else:
+        _, df = _read_blocks(spark, args.input)
+        if args.columns:
+            df = df.select(*args.columns.split(","))
     rows = df.limit(args.limit).toJSON().collect() if args.limit else df.toJSON().collect()
     for r in rows:
         print(r)
@@ -371,6 +378,10 @@ def main(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--limit", type=int, default=0, help="0 = all rows")
     p.add_argument("--columns", default=None, help="comma list projection")
+    p.add_argument(
+        "--blocks", action="store_true",
+        help="dump per-block metadata (id, key range, sizes) instead of rows",
+    )
     p.set_defaults(fn=cmd_cat)
 
     p = sub.add_parser("merge", help="k-way merge of blocks tables by key")

@@ -218,6 +218,21 @@ def encode_ints(
     # is untouched: zebra's handicap is 1.0, so any winner satisfies
     # size * handicap < zsize => size < zsize.
     handicap = _DECODE_HANDICAP if _CODEC_POLICY != "size" else {}
+    if handicap:
+        # r4: a LARGE size win buys the decode cost — when the handicapped
+        # codec is >15% smaller than the best unhandicapped candidate, its
+        # handicap is waived (keeps default-policy compression near the
+        # size-policy bound instead of 3.5% above it)
+        best_plain = min(
+            (s for c, (s, _) in candidates.items() if c not in handicap),
+            default=None,
+        )
+        if best_plain is not None:
+            handicap = {
+                c: h
+                for c, h in handicap.items()
+                if c in candidates and candidates[c][0] > 0.85 * best_plain
+            }
     codec = min(
         candidates,
         key=lambda c: (candidates[c][0] * handicap.get(c, 1.0), c),
@@ -690,10 +705,10 @@ def encode_strings(
     cached = _FSST_PROBE_CACHE.get(probe_key) if probe_key else None
     if cached is not None and cached[1] > 0:
         _FSST_PROBE_CACHE[probe_key] = (cached[0], cached[1] - 1)
-        if cached[0] and len(concat) <= (4 << 20):
-            fsst_worth = True
+        cache_says_yes = bool(cached[0])
         probe_allowed = False
     else:
+        cache_says_yes = False
         probe_allowed = True
     fsst_worth = (
         len(concat) >= 256
@@ -703,6 +718,11 @@ def encode_strings(
             or (aggressive and avg_len >= 64)
         )
     )
+    # a cached-positive probe means FSST won on a sibling block of this
+    # column: attempt it on every subsequent block, not 1-in-64 (r3 bug:
+    # the heuristic recompute overwrote the cache-hit flag)
+    if cache_says_yes and len(concat) <= (4 << 20):
+        fsst_worth = True
     if (
         probe_allowed
         and allowed(StrCodec.FSST)

@@ -19,10 +19,14 @@ zebra-core/src/Zebra/Serial/Binary/Array.hs:143-184):
 
 The BP64 *bit order inside a packed chunk* is not observable from the
 reference repo (the kernel lives in the external ``ambiata-anemone``
-library, not vendored), so we define it: integer ``i`` of a chunk occupies
-bits ``[i*nbits, (i+1)*nbits)`` of a little-endian 64-bit-word bitstream.
-The byte SIZE of every chunk is identical to the reference
-(``nbits * 8``), so compressed-size comparisons are exact.
+library, not vendored), so we adopt the canonical public layout from the
+integer-compression scheme zebra's README itself cites — Lemire & Boytsov
+2012 (arXiv:1209.2137), sequential horizontal packing: integer ``i`` of a
+chunk occupies bits ``[i*nbits, (i+1)*nbits)`` of a little-endian
+64-bit-word bitstream (golden-pinned for k in {1,7,13,64} in
+tests/test_golden.py with hand-derived expected words).  The byte SIZE of
+every chunk is identical to the reference (``nbits * 8``), so
+compressed-size comparisons are exact.
 
 Everything here is wrapping two's-complement int64 arithmetic, matching C.
 

@@ -28,6 +28,8 @@ UDFs, no shuffle.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -55,7 +57,19 @@ def enum_schema(variants: list[tuple[str, T.DataType | None]]) -> T.StructType:
 
     ``dtype is UNIT`` (None) marks a Unit variant — no field is emitted.
     """
-    fields = [T.StructField("tag", T.LongType(), nullable=False)]
+    layout = [[name, dtype is UNIT] for name, dtype in variants]
+    # unit variants are invisible in the physical shape; when any exist,
+    # carry the layout on the tag field itself so the enum stays
+    # self-describing even in collection-element positions where Spark has
+    # no outer-field metadata slot (merge._size_value / zfile rely on this)
+    tag_md = (
+        {"zebra.enum": json.dumps(layout)}
+        if any(is_unit for _, is_unit in layout)
+        else None
+    )
+    fields = [
+        T.StructField("tag", T.LongType(), nullable=False, metadata=tag_md)
+    ]
     for name, dtype in variants:
         if dtype is not UNIT:
             fields.append(T.StructField(f"v_{name}", dtype, nullable=False))

@@ -254,6 +254,15 @@ def encode_df(
     # driver-side so blocks stay schema-faithful (decode_df restores it)
     field_meta = df.schema.json() if _has_metadata(df.schema) else None
     if group_col is not None:
+        # the grouped encoder drops group_col from the encoded batches, so
+        # the stored schema must drop it too — otherwise decode_df restores
+        # a schema with one extra column and the arrow walk misaligns
+        from pyspark.sql import types as T
+
+        sub = T.StructType(
+            [f for f in df.schema.fields if f.name != group_col]
+        )
+        field_meta = sub.json() if _has_metadata(sub) else None
         return df.mapInArrow(
             _encode_grouped_fn(rows_per_block, key_col, group_col, field_meta),
             schema=BLOCKS_DDL + ", unit int",

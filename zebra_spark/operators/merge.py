@@ -382,6 +382,10 @@ def _enum_layout_of(t: T.StructType, md: dict | None) -> list | None:
     metadata, else inferred from the tag + v_* shape) — local copy of the
     zfile/zschema convention to avoid an import cycle."""
     raw = (md or {}).get("zebra.enum")
+    if raw is None and t.fields and t.fields[0].name == "tag":
+        # collection-element position: no outer-field metadata slot, so the
+        # layout (needed when unit variants exist) rides the tag field
+        raw = (t.fields[0].metadata or {}).get("zebra.enum")
     if raw is not None:
         layout = json.loads(raw) if isinstance(raw, str) else raw
         return [(n, bool(u)) for n, u in layout]

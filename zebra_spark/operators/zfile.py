@@ -104,6 +104,11 @@ def _is_enum(dtype: T.StructType, md: dict | None) -> list | None:
     inferred from the struct shape (tag + v_* fields, no unit variants)."""
     if md and ENUM_META in md:
         return enum_layout(md[ENUM_META])
+    if dtype.fields and dtype.fields[0].name == "tag" and (
+        (dtype.fields[0].metadata or {}).get(ENUM_META)
+    ):
+        # layout carried on the tag field (collection-element convention)
+        return enum_layout(dtype.fields[0].metadata[ENUM_META])
     names = [f.name for f in dtype.fields]
     if names and names[0] == "tag" and all(n.startswith("v_") for n in names[1:]):
         return [[n[2:], False] for n in names[1:]]
@@ -393,8 +398,13 @@ class _StreamReader:
     raises (never silently mis-parses) and the parse retries with more
     data."""
 
-    def __init__(self, f, chunk_bytes: int = 1 << 20):
+    def __init__(self, f, chunk_bytes: int = 1 << 20,
+                 max_block_bytes: int = 1 << 28):
         self.f, self.chunk = f, chunk_bytes
+        # corruption guard: a truncation retry never needs more than one
+        # full block buffered; past this cap the data is corrupt, not
+        # short, and we fail fast instead of buffering the rest of the file
+        self.max_block = max_block_bytes
         self.buf = b""
         self.eof = False
         self.max_buffered = 0  # test hook: peak bytes held
@@ -415,7 +425,13 @@ class _StreamReader:
         while True:
             try:
                 res, consumed = parse_fn(memoryview(self.buf))
-            except (ValueError, IndexError, OSError):
+            except (ValueError, IndexError, OSError) as e:
+                if len(self.buf) > self.max_block:
+                    raise ValueError(
+                        "zebra block unparseable after buffering "
+                        f"{len(self.buf)} bytes (> max_block_bytes="
+                        f"{self.max_block}): corrupt input, not truncation"
+                    ) from e
                 if self._fill():
                     continue
                 raise

@@ -32,6 +32,24 @@ def blocks_summary(blocks: DataFrame) -> DataFrame:
     )
 
 
+def block_manifest(blocks: DataFrame) -> DataFrame:
+    """Per-block metadata dump — `zebra cat` over block headers rather than
+    rows (Command/Cat.hs prints per-entity/block structure for V2 factsets;
+    the V3-era analogue is this manifest over the blocks table).  One row
+    per block: id, key range, row count, byte sizes.  Tiny output (one row
+    per block) regardless of table scale — no payload decode."""
+    return blocks.select(
+        "block_id",
+        "part_start",
+        "key_min",
+        "key_max",
+        "n_rows",
+        "raw_bytes",
+        "enc_bytes",
+        "zebra_bytes",
+    )
+
+
 def consistency_check(
     blocks: DataFrame, key_min_col: str = "key_min", key_max_col: str = "key_max"
 ) -> DataFrame:
