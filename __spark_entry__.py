@@ -704,58 +704,83 @@ def _q_projection_pushdown(spark, sf_dir):
 
 
 def _q_ztxt_roundtrip(spark, sf_dir):
-    """zebra's OWN text value codec (Json/Logical.hs:91-290), enum-bearing:
-    an option enum (none|some:int, single-key variant objects in the text),
-    a zebra date column (rendered 'YYYY-MM-DD', re-parsed to epoch days)
-    and utf8 text go DataFrame -> .ztxt render -> parse -> identical values.
-    The same pipeline passes the reference's golden import cases t01-t04
-    verbatim (tests/test_ztxt.py)."""
+    """zebra's OWN text value codec (Json/Logical.hs:91-290) in the
+    reference's golden MAP-TABLE form (t02-map shape: one
+    ``{"key":…, "value":…}`` object per line, ascending keys): value is a
+    struct carrying utf8 text, an option ENUM (single-key variant objects
+    in the text, none|some:int) and a zebra DATE (rendered 'YYYY-MM-DD'
+    from days since 1600-03-01).  DataFrame -> .ztxt render -> read_ztxt
+    parse -> identical values.  The same pipeline passes the reference's
+    golden import cases t01-t04 verbatim (tests/test_ztxt.py)."""
+    import json as _json
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from zebra_spark.operators.zschema import (
-        ENCODING_META,
-        ENUM_META,
-        enum_layout_meta,
-        struct_to_zschema,
-    )
     from zebra_spark.operators.ztxt import read_ztxt, write_ztxt_file
 
     docs = _load(spark, sf_dir, "documents")
-    enum_md = {ENUM_META: enum_layout_meta([["none", True], ["some", False]])}
+    # the SchemaV1 node is authoritative for render/parse (the writer walks
+    # it, not Spark metadata) — hand-built in the reference's JSON shape
+    node = {
+        "map": {
+            "key": {"int": {}},
+            "value": {
+                "struct": {
+                    "fields": [
+                        {
+                            "name": "lang",
+                            "schema": {"binary": {"encoding": {"utf8": {}}}},
+                        },
+                        {
+                            "name": "opt",
+                            "schema": {
+                                "enum": {
+                                    "variants": [
+                                        {"name": "none", "schema": {"unit": {}}},
+                                        {"name": "some", "schema": {"int": {}}},
+                                    ]
+                                }
+                            },
+                        },
+                        {
+                            "name": "d",
+                            "schema": {"int": {"encoding": {"date": {}}}},
+                        },
+                    ]
+                }
+            },
+        }
+    }
     df = docs.select(
-        F.col("doc_id"),
-        F.col("lang"),
-        # option enum: none when doc_id%3==0, some(n_chars) otherwise —
-        # non-selected variants hold the materialized default (fromVariant)
+        F.col("doc_id").alias("key"),
         F.struct(
-            F.when(F.col("doc_id") % 3 == 0, F.lit(0)).otherwise(1)
-            .cast("long").alias("tag"),
-            F.when(F.col("doc_id") % 3 == 0, F.lit(0)).otherwise(F.col("n_chars"))
-            .cast("long").alias("v_some"),
-        ).alias("opt", metadata=enum_md),
-        # a zebra date: n_chars days since 1600-03-01, renders as a calendar
-        # string in the text and must come back as the same day count
-        F.col("n_chars").cast("long").alias("d", metadata={ENCODING_META: "date"}),
+            F.col("lang"),
+            # option enum: none when doc_id%3==0, some(n_chars) otherwise —
+            # non-selected variants hold the materialized default
+            F.struct(
+                F.when(F.col("doc_id") % 3 == 0, F.lit(0)).otherwise(1)
+                .cast("long").alias("tag"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(0))
+                .otherwise(F.col("n_chars")).cast("long").alias("v_some"),
+            ).alias("opt"),
+            # zebra date: n_chars days since 1600-03-01, calendar-rendered
+            F.col("n_chars").cast("long").alias("d"),
+        ).alias("value"),
     )
-    node = struct_to_zschema(df.schema)
     out = tempfile.mkdtemp(prefix="zs_ztxt_")
     try:
         path = f"{out}/table.ztxt"
         write_ztxt_file(df, path, node)
-        with open(f"{out}/table.zschema", "w") as f:
-            import json as _json
-
-            f.write(_json.dumps({"version": "v0", "schema": node}))
-        back = read_ztxt(spark, path, open(f"{out}/table.zschema").read())
+        zschema_text = _json.dumps({"version": "v0", "schema": node})
+        back = read_ztxt(spark, path, zschema_text)
         return back.select(
-            "doc_id",
-            "lang",
-            F.col("opt.tag").alias("opt_tag"),
-            F.col("opt.v_some").alias("opt_some"),
-            F.col("d").alias("date_days"),
+            F.col("key").alias("doc_id"),
+            F.col("value.lang").alias("lang"),
+            F.col("value.opt.tag").alias("opt_tag"),
+            F.col("value.opt.v_some").alias("opt_some"),
+            F.col("value.d").alias("date_days"),
         ).localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -150,7 +150,47 @@ def scaling_runs():
         "scaling_pairs": [round(e, 3) for e in eff_pairs],
         "scaling_pairs_throttle_artifacts": n_throttle_artifacts,
         "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
+        "size_policy": size_policy_run(),
         "decode": decode_run(n_tokens),
+    }
+
+
+def size_policy_run():
+    """One encode pass under ZS_CODEC_POLICY=size in a FRESH process —
+    workers read the policy at module import, so it must be in the process
+    env before the JVM starts.  Proves the size-only selector still holds
+    the <= zebra bound with margin (r3 verdict: the balanced policy's
+    decode-cost gates traded 3.5% size; this lane pins what the format can
+    do when size is the only objective)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import os, sys, json\n"
+        f"sys.path.insert(0, {here!r})\n"
+        "from zebra_spark.session import get_spark\n"
+        "from zebra_spark.sources.parquet_direct import encode_parquet_direct\n"
+        "from pyspark.sql import functions as F\n"
+        f"spark = get_spark(master='local[{HI}]', app_name='zs-bench-size')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"r = (encode_parquet_direct(spark, {F1_PATH!r}).groupBy()\n"
+        "     .agg(F.sum('enc_bytes').alias('enc'),\n"
+        "          F.sum('zebra_bytes').alias('zebra')).collect()[0])\n"
+        "print(json.dumps({'enc': r['enc'], 'zebra': r['zebra']}))\n"
+    )
+    env = dict(os.environ, ZS_CODEC_POLICY="size")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        return {"error": (out.stderr or out.stdout)[-300:]}
+    d = json.loads(lines[-1])
+    return {
+        "enc_bytes": d["enc"],
+        "zebra_bytes": d["zebra"],
+        "compression_vs_zebra": round(d["enc"] / d["zebra"], 4),
     }
 
 
