@@ -1,0 +1,159 @@
+"""Legacy ||ZEBRA||00002|| factset READ support (Serial/Binary/Block.hs:
+133-423, Factset/Table.hs:85-248).
+
+The reference binary cannot run here, so the input file is hand-assembled
+from the wire spec with the same codec primitives the write path pins in
+tests/test_golden.py — every section (header SchemaV0 strings, entities,
+flattened attributes, indices, per-attribute striped tables with V2
+sized-byte-array binaries) follows the Haskell encoder byte for byte.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zebra_spark.codec.bytecodec import pack_sized_byte_array, pack_strings
+from zebra_spark.codec.intcodec import pack_int_array
+from zebra_spark.operators.zfile_v2 import (
+    MAGIC_V2,
+    open_zebra_v2_stream,
+    read_v2_header,
+    read_zebra_v2_files,
+    v2_facts,
+)
+
+
+def _u32(n: int) -> bytes:
+    return np.uint32(n).astype("<u4").tobytes()
+
+
+def _strings(items: list[bytes]) -> bytes:
+    lengths = np.array([len(b) for b in items], dtype=np.int64)
+    return pack_strings(lengths, b"".join(items))
+
+
+def _ints(vals) -> bytes:
+    return pack_int_array(np.array(vals, dtype=np.int64))
+
+
+def _doubles(vals) -> bytes:
+    return pack_int_array(np.array(vals, dtype=np.float64).view(np.int64))
+
+
+CASH = {"double": {}}
+NAME = {"nested": {"table": {"binary": {}}}}
+
+
+def _v2_header() -> bytes:
+    names = [b"cash", b"name"]
+    schemas = [
+        json.dumps({"array": {"element": CASH}}).encode(),
+        json.dumps({"array": {"element": NAME}}).encode(),
+    ]
+    return MAGIC_V2 + _u32(2) + _strings(names) + _strings(schemas)
+
+
+def _v2_block() -> bytes:
+    # entities: barney(hash 10, attrs cash x3 + name x1), marge(20, cash x1)
+    out = _u32(2)
+    out += _ints([10, 20])  # entity_id_hash
+    out += _strings([b"barney", b"marge"])  # entity ids
+    out += _ints([2, 1])  # entity_attr_count
+    # flattened attributes (entity-major, attr ids ascending per entity)
+    out += _u32(3)
+    out += _ints([0, 1, 0])  # attr ids: barney cash, barney name, marge cash
+    out += _ints([3, 1, 1])  # rows per (entity, attr)
+    # indices, one row per fact in the same flattened order:
+    # barney cash: (100,7,live) (100,7,TOMBSTONE) (200,7,live)
+    # barney name: (300,9,live)
+    # marge  cash: (400,7,live)
+    out += _u32(5)
+    out += _ints([100, 100, 200, 300, 400])  # times
+    out += _ints([7, 7, 7, 9, 7])  # factset ids
+    out += _ints([0, 1, 0, 0, 0])  # tombstones (wire: 0 = live)
+    # tables: per attribute, all its fact rows in entity order
+    out += _u32(2)
+    out += _ints([0, 1])  # table ids
+    out += _ints([4, 1])  # row counts (cash: 3 barney + 1 marge)
+    # cash table: double column (tombstoned rows still carry a value slot)
+    out += _doubles([27.5, 0.0, 13.25, 45.1])
+    # name table: nested binary -> lengths int_array + u32 inner + sized bytes
+    out += _ints([5])  # byte length of "homer"
+    out += _u32(5) + pack_sized_byte_array(b"homer")
+    return bytes(out)
+
+
+@pytest.fixture(scope="module")
+def v2_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("v2") / "facts.zebra"
+    p.write_bytes(_v2_header() + _v2_block())
+    return str(p)
+
+
+def test_v2_header_parse(v2_path):
+    names, nodes = read_v2_header(v2_path)
+    assert names == ["cash", "name"]
+    assert nodes == [CASH, NAME]
+
+
+def test_v2_stream_generic_map_form(v2_path):
+    with open(v2_path, "rb") as f:
+        schema, blocks, _ = open_zebra_v2_stream(f)
+        batches = list(blocks)
+    assert [b.num_rows for b in batches] == [2]
+    rows = batches[0].to_pylist()
+    barney, marge = rows
+    assert (barney["entity_hash"], barney["entity_id"]) == (10, "barney")
+    # consecutive (100,7) facts group into ONE map entry with two values;
+    # (200,7) is its own entry.  Tombstone -> tag 0 (the none variant)
+    assert barney["cash"] == [
+        {"time": 100, "factset_id": 7,
+         "values": [{"tag": 1, "v_some": 27.5}, {"tag": 0, "v_some": 0.0}]},
+        {"time": 200, "factset_id": 7,
+         "values": [{"tag": 1, "v_some": 13.25}]},
+    ]
+    assert barney["name"] == [
+        {"time": 300, "factset_id": 9,
+         "values": [{"tag": 1, "v_some": b"homer"}]},
+    ]
+    assert (marge["entity_hash"], marge["entity_id"]) == (20, "marge")
+    assert marge["cash"] == [
+        {"time": 400, "factset_id": 7, "values": [{"tag": 1, "v_some": 45.1}]},
+    ]
+    assert marge["name"] == []
+
+
+def test_v2_spark_read_and_facts(spark, v2_path):
+    df = read_zebra_v2_files(spark, [v2_path])
+    assert df.count() == 2
+    facts = {
+        (r["entity_id"], r["attribute"], r["time"], r["factset_id"]): (
+            r["tombstone"], r["value"]
+        )
+        for r in v2_facts(df).collect()
+    }
+    # 4 map entries explode to 5 fact rows
+    assert len(facts) == 4  # (barney,cash,100,7) carries two values
+    assert facts[("barney", "name", 300, 9)] == (False, "homer")
+    assert facts[("marge", "cash", 400, 7)] == (False, "45.1")
+
+
+def test_v2_rejects_bad_magic(tmp_path):
+    p = tmp_path / "bad.zebra"
+    p.write_bytes(b"||ZEBRA||00003||" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="not a zebra V2 file"):
+        read_v2_header(str(p))
+
+
+def test_v2_facts_cli(v2_path, capsys):
+    import tools.zs as zs
+
+    zs.main(["--master", "local[2]", "facts", "--input", v2_path, "--limit", "2"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert all("entity_id" in json.loads(l) for l in lines)

@@ -288,6 +288,22 @@ def _zebra_summary_fields(spark, blocks, row):
     return out
 
 
+def cmd_facts(args):
+    """`zebra facts` parity (read-only): flatten legacy V2 factset files to
+    one JSON line per fact."""
+    import glob as _glob
+
+    from zebra_spark.operators.zfile_v2 import read_zebra_v2_files, v2_facts
+
+    spark = _spark(args)
+    paths = sorted(_glob.glob(args.input)) or [args.input]
+    df = v2_facts(read_zebra_v2_files(spark, paths))
+    if args.limit:
+        df = df.limit(args.limit)
+    for r in df.toJSON().collect():
+        print(r)
+
+
 def cmd_consistency(args):
     from zebra_spark.plans.summary import consistency_check
 
@@ -409,6 +425,11 @@ def main(argv=None):
     p.add_argument("--zebra-style", action="store_true",
                    help="add zebra summary fields (block_count/row_count/first_key/...)")
     p.set_defaults(fn=cmd_summary)
+
+    p = sub.add_parser("facts", help="flatten legacy ||ZEBRA||00002|| factset files to JSON fact lines")
+    p.add_argument("--input", required=True, help="V2 file path or glob")
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_facts)
 
     p = sub.add_parser("consistency", help="inter-block order check (exit 1 on violation)")
     p.add_argument("--input", required=True)
