@@ -119,7 +119,7 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
-def _q_lsh_ann(spark, sf_dir):
+def _q_lsh_ann_topk(spark, sf_dir):
     from zebra_spark.functions.similarity import lsh_ann_topk
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -196,7 +196,7 @@ def _q_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs, emb, vertex_col="vec_id")
 
 
-def _q_minhash(spark, sf_dir):
+def _q_minhash_lsh(spark, sf_dir):
     from zebra_spark.functions.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(_load(spark, sf_dir, "documents"))
