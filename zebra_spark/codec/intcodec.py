@@ -276,8 +276,14 @@ def unpack_int_array(buf: bytes | memoryview, n_elems: int, pos: int = 0):
     out_u = np.empty(n_elems, dtype=_U64)
     if n_parts:
         parts = body[n_parts : n_parts + parts_total]
-        byte_offsets = np.concatenate(([0], np.cumsum(nbits[:-1] * 8)))
         chunk_out = out_u[: n_parts * 64].reshape(n_parts, 64)
+        # every chunk is a whole number of 8-byte words, so gather at WORD
+        # granularity over one aligned copy — 8x fewer fancy-index entries
+        # than the old per-byte gather, one copy instead of one per width
+        parts64 = np.frombuffer(parts.tobytes(), dtype="<u8").astype(
+            _U64, copy=False
+        )
+        word_offsets = np.concatenate(([0], np.cumsum(nbits[:-1])))
         for w in np.unique(nbits):
             w = int(w)
             idx = np.nonzero(nbits == w)[0]
@@ -285,18 +291,10 @@ def unpack_int_array(buf: bytes | memoryview, n_elems: int, pos: int = 0):
                 chunk_out[idx] = 0
                 continue
             if len(idx) == n_parts:
-                words = parts.copy().view("<u8").astype(_U64, copy=False).reshape(
-                    n_parts, w
-                )
+                words = parts64.reshape(n_parts, w)
             else:
-                src = byte_offsets[idx][:, None] + np.arange(
-                    w * 8, dtype=np.int64
-                )[None, :]
-                words = (
-                    parts[src].reshape(len(idx), w * 8).copy().view("<u8").astype(
-                        _U64, copy=False
-                    )
-                )
+                wsrc = word_offsets[idx][:, None] + np.arange(w, dtype=np.int64)[None, :]
+                words = parts64[wsrc]
             chunk_out[idx] = _bp64_unpack_group(words, w)
     if n_rem:
         rem = body[n_parts + parts_total :]
