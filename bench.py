@@ -15,7 +15,7 @@ right layout at cluster scale.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), ZS_BENCH_ROWS (default 1_000_000),
-ZS_BENCH_ITERS (default 3), ZS_BENCH_LO / ZS_BENCH_HI (parallelism pair,
+ZS_BENCH_ITERS (default 5), ZS_BENCH_LO / ZS_BENCH_HI (parallelism pair,
 default CPUS//4 and CPUS), ZS_BENCH_SKIP_SCALING=1 to skip scaling runs.
 """
 
@@ -37,7 +37,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # interleave the two levels more fairly.  ZS_BENCH_ROWS=1000000 for the
 # big input (also cached).
 BENCH_ROWS = int(os.environ.get("ZS_BENCH_ROWS", "250000"))
-ITERS = int(os.environ.get("ZS_BENCH_ITERS", "3"))
+# 5 interleaved pairs: the host throttle shifts on multi-minute scales,
+# so a 3-pair median is one bad window from garbage; 5 pairs cost ~4
+# extra minutes and make the median robust to two contaminated pairs
+ITERS = int(os.environ.get("ZS_BENCH_ITERS", "5"))
 # Default scaling pair is 2 -> 8 (N and 4N): this sandbox's host grants at
 # most ~8 cores' worth of sustained vectorized compute (BENCH/BASELINE.md
 # section 3), so pairs beyond 8 measure host contention, not the engine.
@@ -82,6 +85,10 @@ def encode_once(spark):
 
 def scaling_runs():
     from zebra_spark.session import get_spark
+
+    # decode leg FIRST: a single measurement is fragile, so it gets the
+    # freshest host budget instead of running after ~10 min of encodes
+    decode = decode_run(None)
 
     n_tokens = None
     best = {LO: None, HI: None}
@@ -151,7 +158,7 @@ def scaling_runs():
         "scaling_pairs_throttle_artifacts": n_throttle_artifacts,
         "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
         "size_policy": size_policy_run(),
-        "decode": decode_run(n_tokens),
+        "decode": decode,
     }
 
 
@@ -194,7 +201,7 @@ def size_policy_run():
     }
 
 
-def decode_run(n_tokens: int):
+def decode_run(n_tokens: int | None):
     """One timed decode pass (encode -> blocks cached -> decode) at HI."""
     from zebra_spark.session import get_spark
     from zebra_spark.operators.decode import decode_df
@@ -202,6 +209,10 @@ def decode_run(n_tokens: int):
 
     spark = get_spark(master=f"local[{HI}]", app_name="zs-bench-decode")
     spark.sparkContext.setLogLevel("ERROR")
+    if n_tokens is None:  # decode now runs before the scaling legs
+        n_tokens = int(
+            spark.read.parquet(F1_PATH).agg(F.sum("n_tok")).collect()[0][0]
+        )
     blocks = encode_parquet_direct(spark, F1_PATH).cache()
     blocks.count()
     decode_df(blocks).count()  # warm-up
