@@ -202,10 +202,12 @@ def pack_from_plan(plan: PackPlan) -> bytes:
     deltas = plan.deltas
 
     parts_total = int(nbits.sum()) * 8
-    parts_buf = np.zeros(parts_total, dtype=np.uint8)
+    # scatter packed chunks at 8-byte-WORD granularity (every chunk is a
+    # whole number of words) — 8x fewer fancy-index entries than per-byte
+    parts64 = np.zeros(parts_total // 8, dtype="<u8")
     if n_parts:
         chunk_vals = deltas[: n_parts * 64].reshape(n_parts, 64)
-        byte_offsets = np.concatenate(([0], np.cumsum(nbits[:-1] * 8)))
+        word_offsets = np.concatenate(([0], np.cumsum(nbits[:-1])))
         widths = np.unique(nbits)
         for w in widths:
             w = int(w)
@@ -213,13 +215,13 @@ def pack_from_plan(plan: PackPlan) -> bytes:
                 continue
             idx = np.nonzero(nbits == w)[0]
             words = _bp64_pack_group(chunk_vals[idx], w)  # (m, w) uint64
-            le = words.astype("<u8", copy=False).view(np.uint8).reshape(len(idx), w * 8)
+            le = words.astype("<u8", copy=False)
             if len(idx) == n_parts:
                 # single-width fast path: contiguous write
-                parts_buf[:] = le.ravel()
+                parts64[:] = le.ravel()
             else:
-                tgt = byte_offsets[idx][:, None] + np.arange(w * 8, dtype=np.int64)[None, :]
-                parts_buf[tgt] = le
+                tgt = word_offsets[idx][:, None] + np.arange(w, dtype=np.int64)[None, :]
+                parts64[tgt] = le
 
     remainder = deltas[n_parts * 64 :].astype("<u8", copy=False).view(np.uint8)
 
@@ -232,7 +234,7 @@ def pack_from_plan(plan: PackPlan) -> bytes:
         (
             header,
             nbits.astype(np.uint8).tobytes(),
-            parts_buf.tobytes(),
+            parts64.tobytes(),
             remainder.tobytes(),
         )
     )
