@@ -157,3 +157,27 @@ def test_v2_facts_cli(v2_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert len(lines) == 2
     assert all("entity_id" in json.loads(l) for l in lines)
+
+
+def test_v2_upgrade_to_v3_roundtrip(spark, v2_path, tmp_path):
+    """`zs upgrade`: V2 factset -> self-describing V3 map-table files; the
+    V3 read-back carries the same entities and attribute entries."""
+    import tools.zs as zs
+    from zebra_spark.operators.zfile import read_zebra_files
+
+    out = str(tmp_path / "v3")
+    zs.main(["--master", "local[2]", "upgrade", "--input", v2_path, "--output", out])
+    import glob as g
+
+    files = sorted(g.glob(f"{out}/*.zebra"))
+    assert files
+    back = read_zebra_files(spark, files)
+    rows = {r["key"]["entity_id"]: r.asDict(recursive=True) for r in back.collect()}
+    assert set(rows) == {"barney", "marge"}
+    b = rows["barney"]
+    assert b["key"]["entity_hash"] == 10
+    cash = b["value"]["cash"]
+    assert [(e["time"], e["factset_id"]) for e in cash] == [(100, 7), (200, 7)]
+    assert [v["tag"] for v in cash[0]["values"]] == [1, 0]
+    assert [v["v_some"] for v in cash[0]["values"]] == [27.5, 0.0]
+    assert rows["marge"]["value"]["name"] == []

@@ -304,6 +304,33 @@ def cmd_facts(args):
         print(r)
 
 
+def cmd_upgrade(args):
+    """Convert legacy V2 factset files to self-describing V3 files in the
+    generic map form (key = entity struct, value = struct of attributes) —
+    the forward path the reference's own tableOfBlock defines."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.operators.zfile import write_zebra_files
+    from zebra_spark.operators.zfile_v2 import read_zebra_v2_files
+    from zebra_spark.operators.zschema import MAP_TABLE_META
+
+    spark = _spark(args)
+    paths = sorted(_glob.glob(args.input)) or [args.input]
+    df = read_zebra_v2_files(spark, paths)
+    attrs = [c for c in df.columns if c not in ("entity_hash", "entity_id")]
+    out = df.select(
+        F.struct("entity_hash", "entity_id").alias(
+            "key", metadata={MAP_TABLE_META: True}
+        ),
+        F.struct(*attrs).alias("value"),
+    ).sortWithinPartitions("key")
+    manifest = write_zebra_files(out, args.output, rows_per_block=args.block_rows)
+    for r in manifest.collect():
+        print(json.dumps(r.asDict(), default=str))
+
+
 def cmd_consistency(args):
     from zebra_spark.plans.summary import consistency_check
 
@@ -430,6 +457,12 @@ def main(argv=None):
     p.add_argument("--input", required=True, help="V2 file path or glob")
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_facts)
+
+    p = sub.add_parser("upgrade", help="convert ||ZEBRA||00002|| factsets to V3 map-table files")
+    p.add_argument("--input", required=True, help="V2 file path or glob")
+    p.add_argument("--output", required=True, help="directory for V3 files")
+    p.add_argument("--block-rows", type=int, default=1 << 16)
+    p.set_defaults(fn=cmd_upgrade)
 
     p = sub.add_parser("consistency", help="inter-block order check (exit 1 on violation)")
     p.add_argument("--input", required=True)

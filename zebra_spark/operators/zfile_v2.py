@@ -406,15 +406,100 @@ def open_zebra_v2_stream(f, chunk_bytes: int = 1 << 20):
     return schema, blocks(), rd
 
 
+def _v0_column_to_spark(node: dict) -> tuple:
+    """(Spark type, field metadata) for a SchemaV0 column node.  Enum
+    layouts with unit variants ride the TAG field metadata (the repo's
+    collection-element convention) so downstream encodes stay faithful."""
+    import json
+
+    name, val = _variant(node, "column")
+    if name == "int":
+        return T.LongType(), None
+    if name == "double":
+        return T.DoubleType(), None
+    if name == "enum":
+        layout = []
+        fields = []
+        for v in val["variants"]:
+            vn, vcol = v["name"], v["column"]
+            cn, _ = _variant(vcol, f"variant {vn}")
+            layout.append([vn, cn == "unit"])
+            if cn != "unit":
+                vt, vmd = _v0_column_to_spark(vcol)
+                fields.append(T.StructField(f"v_{vn}", vt, False, vmd or None))
+        tag_md = {"zebra.enum": json.dumps(layout)}
+        return (
+            T.StructType(
+                [T.StructField("tag", T.LongType(), False, tag_md)] + fields
+            ),
+            {"zebra.enum": json.dumps(layout)},
+        )
+    if name == "struct":
+        fs = []
+        for f in val["fields"]:
+            ft, fmd = _v0_column_to_spark(f["column"])
+            fs.append(T.StructField(f["name"], ft, False, fmd or None))
+        return T.StructType(fs), None
+    if name == "nested":
+        tname, tval = _variant(val["table"], "nested table")
+        if tname == "binary":
+            return T.BinaryType(), None
+        if tname == "array":
+            et, _ = _v0_column_to_spark(tval["element"])
+            return T.ArrayType(et, False), None
+        if tname == "map":
+            kt, _ = _v0_column_to_spark(tval["key"])
+            vt, _ = _v0_column_to_spark(tval["value"])
+            return T.MapType(kt, vt, False), None
+        raise ValueError(f"SchemaV0: unknown table kind {tname}")
+    if name == "reversed":
+        it, imd = _v0_column_to_spark(val["column"])
+        md = dict(imd or {})
+        md["zebra.reversed"] = True
+        return it, md
+    raise NotImplementedError(f"SchemaV0: unsupported column kind {name}")
+
+
+def spark_schema_v2(names: list, nodes: list) -> T.StructType:
+    """Spark schema of the generic map form, metadata-faithful: the values
+    enum carries its none|some layout on the tag field, factset_id is
+    marked zebra.reversed (Factset/Table.hs:160-165)."""
+    import json
+
+    opt_layout = json.dumps([["none", True], ["some", False]])
+    fields = [
+        T.StructField("entity_hash", T.LongType(), False),
+        T.StructField("entity_id", T.StringType(), False),
+    ]
+    for aname, node in zip(names, nodes):
+        vfields = [
+            T.StructField("tag", T.LongType(), False, {"zebra.enum": opt_layout})
+        ]
+        cn, _ = _variant(node, "value")
+        if cn != "unit":
+            vt, vmd = _v0_column_to_spark(node)
+            vfields.append(T.StructField("v_some", vt, False, vmd or None))
+        entry = T.StructType(
+            [
+                T.StructField("time", T.LongType(), False),
+                T.StructField(
+                    "factset_id", T.LongType(), False, {"zebra.reversed": True}
+                ),
+                T.StructField("values", T.ArrayType(T.StructType(vfields), False), False),
+            ]
+        )
+        fields.append(T.StructField(aname, T.ArrayType(entry, False), False))
+    return T.StructType(fields)
+
+
 def read_zebra_v2_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
     """Parallel read of legacy V2 factset files into the generic map-form
     DataFrame (one row per entity per block), streaming each file with
-    bounded memory.  Completes the §2.2 file-format matrix read-only; use
-    the normal encode path to convert forward to blocks/V3."""
-    from pyspark.sql.pandas.types import from_arrow_schema
-
+    bounded memory.  Completes the §2.2 file-format matrix read-only; the
+    schema is metadata-faithful (enum layouts on tag fields, reversed
+    factset_id) so `zs upgrade` can re-encode to V3 losslessly."""
     names, nodes = read_v2_header(paths[0])
-    spark_schema = from_arrow_schema(_arrow_schema(names, nodes))
+    spark_schema = spark_schema_v2(names, nodes)
     pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         max(1, len(paths))
     )

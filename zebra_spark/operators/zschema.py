@@ -156,15 +156,40 @@ def _col_to_dtype(node: dict, what: str) -> tuple[T.DataType, dict]:
         raise ValueError(f"zschema: unknown binary encoding {enc!r}")
     if name == "array":
         etype, emd = _col_to_dtype(val["element"], "array element")
-        _require_plain(emd, "array element")
+        etype = _sink_elem_meta(etype, emd, "array element")
         return T.ArrayType(etype), _default_meta(val)
     if name == "map":
         ktype, kmd = _col_to_dtype(val["key"], "map key")
         vtype, vmd = _col_to_dtype(val["value"], "map value")
-        _require_plain(kmd, "map key")
-        _require_plain(vmd, "map value")
+        ktype = _sink_elem_meta(ktype, kmd, "map key")
+        vtype = _sink_elem_meta(vtype, vmd, "map value")
         return T.MapType(ktype, vtype), _default_meta(val)
     raise ValueError(f"zschema: unknown column variant {name!r}")
+
+
+def _sink_elem_meta(etype, emd: dict, what: str):
+    """Collection-element positions have no Spark field-metadata slot; an
+    ENUM layout sinks onto the element struct's TAG field (the repo's
+    round-4 convention, honored by zfile/merge/struct_to_zschema).  Any
+    other interesting metadata still refuses (encodings/reversed would be
+    silently dropped)."""
+    interesting = {k: v for k, v in emd.items() if k != DEFAULT_META}
+    if (
+        set(interesting) == {ENUM_META}
+        and isinstance(etype, T.StructType)
+        and etype.fields
+        and etype.fields[0].name == "tag"
+    ):
+        tag = etype.fields[0]
+        new_tag = T.StructField(
+            "tag",
+            tag.dataType,
+            tag.nullable,
+            {**(tag.metadata or {}), ENUM_META: emd[ENUM_META]},
+        )
+        return T.StructType([new_tag] + list(etype.fields[1:]))
+    _require_plain(emd, what)
+    return etype
 
 
 def _require_plain(md: dict, what: str) -> None:
@@ -280,6 +305,15 @@ def _dtype_to_col(dtype: T.DataType, md: dict | None, what: str) -> dict:
             }
         }
     if isinstance(dtype, T.StructType):
+        if (
+            ENUM_META not in md
+            and dtype.fields
+            and dtype.fields[0].name == "tag"
+            and (dtype.fields[0].metadata or {}).get(ENUM_META)
+        ):
+            # collection-element convention: the enum layout rides the tag
+            # field where Spark offers no outer-field metadata slot
+            md = {**md, ENUM_META: dtype.fields[0].metadata[ENUM_META]}
         if ENUM_META in md:
             by_name = {f.name: f for f in dtype.fields}
             variants = []
