@@ -181,3 +181,87 @@ def test_v2_upgrade_to_v3_roundtrip(spark, v2_path, tmp_path):
     assert [v["tag"] for v in cash[0]["values"]] == [1, 0]
     assert [v["v_some"] for v in cash[0]["values"]] == [27.5, 0.0]
     assert rows["marge"]["value"]["name"] == []
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7, 23, 99])
+def test_v2_random_structure_property(seed, tmp_path):
+    """Randomized factset structures vs a direct python oracle: entity/
+    attribute/index bookkeeping, per-attribute table row distribution, and
+    consecutive (time, factset_id) grouping all reproduce."""
+    rng = np.random.default_rng(seed)
+    n_ent = int(rng.integers(1, 8))
+    ent_ids = [f"e{i:03d}".encode() for i in range(n_ent)]
+    hashes = rng.integers(0, 1 << 30, size=n_ent).tolist()
+    # per entity: sorted subset of the 2 attrs, 1-4 rows each
+    entries = []  # (ent, aid, [(time, fid, tomb)...])
+    for e in range(n_ent):
+        for aid in sorted(rng.choice(2, size=int(rng.integers(0, 3)), replace=False).tolist()):
+            rows = [
+                (int(rng.integers(0, 4)), int(rng.integers(0, 3)), int(rng.integers(0, 2)))
+                for _ in range(int(rng.integers(1, 5)))
+            ]
+            entries.append((e, aid, rows))
+    acounts = [sum(1 for e, _, _ in entries if e == i) for i in range(n_ent)]
+    cash_vals = []
+    name_vals = []
+    for e, aid, rows in entries:
+        for _ in rows:
+            if aid == 0:
+                cash_vals.append(float(rng.integers(0, 100)) / 4.0)
+            else:
+                name_vals.append(f"v{rng.integers(0, 10)}".encode())
+
+    out = _v2_header()
+    out += _u32(n_ent)
+    out += _ints(hashes)
+    out += _strings(ent_ids)
+    out += _ints(acounts)
+    out += _u32(len(entries))
+    out += _ints([a for _, a, _ in entries])
+    out += _ints([len(r) for _, _, r in entries])
+    flat = [x for _, _, rows in entries for x in rows]
+    out += _u32(len(flat))
+    out += _ints([t for t, _, _ in flat])
+    out += _ints([f for _, f, _ in flat])
+    out += _ints([tb for _, _, tb in flat])
+    tables = []
+    if any(a == 0 for _, a, _ in entries):
+        tables.append((0, len(cash_vals), _doubles(cash_vals)))
+    if any(a == 1 for _, a, _ in entries):
+        lens = _ints([len(v) for v in name_vals])
+        concat = b"".join(name_vals)
+        tables.append((1, len(name_vals), lens + _u32(len(concat)) + pack_sized_byte_array(concat)))
+    out += _u32(len(tables))
+    out += _ints([t[0] for t in tables])
+    out += _ints([t[1] for t in tables])
+    for _, _, payload in tables:
+        out += payload
+    p = tmp_path / "rand.zebra"
+    p.write_bytes(bytes(out))
+
+    with open(p, "rb") as f:
+        _, blocks, _ = open_zebra_v2_stream(f)
+        rows = [r for b in blocks for r in b.to_pylist()]
+    assert len(rows) == n_ent
+
+    # python oracle: per (entity, attr) run, group consecutive (t, f)
+    cash_it = iter(cash_vals)
+    name_it = iter(name_vals)
+    want = {
+        i: {"entity_hash": hashes[i], "entity_id": ent_ids[i].decode(),
+            "cash": [], "name": []}
+        for i in range(n_ent)
+    }
+    for e, aid, rrows in entries:
+        attr = "cash" if aid == 0 else "name"
+        groups = []
+        for t, f_, tb in rrows:
+            val = next(cash_it) if aid == 0 else next(name_it)
+            item = {"tag": 0 if tb else 1, "v_some": val}
+            if groups and groups[-1]["time"] == t and groups[-1]["factset_id"] == f_:
+                groups[-1]["values"].append(item)
+            else:
+                groups.append({"time": t, "factset_id": f_, "values": [item]})
+        want[e][attr].extend(groups)
+    for i, row in enumerate(rows):
+        assert row == want[i], (seed, i)
