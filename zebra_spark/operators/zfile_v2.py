@@ -517,18 +517,56 @@ def read_zebra_v2_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
 def v2_facts(df):
     """Flatten the generic map form to one row per FACT — the `zebra facts`
     view: (entity_hash, entity_id, attribute, time, factset_id, tombstone,
-    value rendered per attribute column)."""
+    value rendered per attribute column).
+
+    Single pass: every attribute column is normalized to a common entry
+    shape (value stringified — atomics cast, composites to_json) INSIDE one
+    select, stacked into an array, then exploded twice.  A per-attribute
+    union would re-run the whole V2 file parse once per attribute — at
+    many attributes that is quadratic input IO."""
     from pyspark.sql import functions as F
 
     attr_cols = [c for c in df.columns if c not in ("entity_hash", "entity_id")]
-    legs = []
-    for a in attr_cols:
-        e = df.select(
+
+    def norm_entries(a: str):
+        vstruct = df.schema[a].dataType.elementType["values"].dataType.elementType
+        vs = next((f for f in vstruct.fields if f.name == "v_some"), None)
+
+        def value_of(v):
+            if vs is None:
+                return F.lit(None).cast("string")
+            if isinstance(vs.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                return F.to_json(v["v_some"])
+            return v["v_some"].cast("string")
+
+        entries = F.transform(
+            F.col(a),
+            lambda e: F.struct(
+                e["time"].alias("time"),
+                e["factset_id"].alias("factset_id"),
+                F.transform(
+                    e["values"],
+                    lambda v: F.struct(
+                        v["tag"].alias("tag"), value_of(v).alias("value")
+                    ),
+                ).alias("values"),
+            ),
+        )
+        return F.struct(F.lit(a).alias("attribute"), entries.alias("entries"))
+
+    return (
+        df.select(
             "entity_hash",
             "entity_id",
-            F.lit(a).alias("attribute"),
-            F.explode(a).alias("entry"),
-        ).select(
+            F.explode(F.array(*[norm_entries(a) for a in attr_cols])).alias("attr"),
+        )
+        .select(
+            "entity_hash",
+            "entity_id",
+            F.col("attr.attribute").alias("attribute"),
+            F.explode("attr.entries").alias("entry"),
+        )
+        .select(
             "entity_hash",
             "entity_id",
             "attribute",
@@ -536,26 +574,13 @@ def v2_facts(df):
             F.col("entry.factset_id").alias("factset_id"),
             F.explode("entry.values").alias("v"),
         )
-        vstruct = df.schema[a].dataType.elementType["values"].dataType.elementType
-        vs = next((f for f in vstruct.fields if f.name == "v_some"), None)
-        if vs is None:
-            value_expr = F.lit(None).cast("string")
-        elif isinstance(vs.dataType, (T.StructType, T.ArrayType, T.MapType)):
-            value_expr = F.to_json("v.v_some")
-        else:
-            value_expr = F.col("v.v_some").cast("string")
-        legs.append(
-            e.select(
-                "entity_hash",
-                "entity_id",
-                "attribute",
-                "time",
-                "factset_id",
-                (F.col("v.tag") == 0).alias("tombstone"),
-                value_expr.alias("value"),
-            )
+        .select(
+            "entity_hash",
+            "entity_id",
+            "attribute",
+            "time",
+            "factset_id",
+            (F.col("v.tag") == 0).alias("tombstone"),
+            F.col("v.value").alias("value"),
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    )
