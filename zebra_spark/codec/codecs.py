@@ -198,10 +198,20 @@ def encode_ints(
                 deltas = np.subtract(values[1:], values[:-1], dtype=_I64)
             # sampled skip-gate (see DICT): random-ish data has WIDER diffs
             # than values, so skip the full delta plan unless slices say
-            # it plausibly beats the current best candidate
-            if _sampled_plan_bytes(deltas) * (n - 1) + 9 < min(
-                s for s, _ in candidates.values()
-            ):
+            # it plausibly beats the current best candidate.  Under the
+            # balanced policy DELTA must additionally clear its 5% decode
+            # handicap to be SELECTED, so the gate bar tightens by the
+            # same factor — a borderline candidate inside the handicap
+            # zone would be rejected after full costing anyway, and the
+            # full 10M-value delta plan costs ~20% of encode time on the
+            # hot token column.  (Sampling error can skip a <5%-margin win;
+            # balanced trades that sliver of size for encode speed — the
+            # <=zebra bound never depends on DELTA.)
+            best_now = min(s for s, _ in candidates.values())
+            bar = best_now
+            if _CODEC_POLICY != "size" and IntCodec.DELTA in _DECODE_HANDICAP:
+                bar = best_now / _DECODE_HANDICAP[IntCodec.DELTA]
+            if _sampled_plan_bytes(deltas) * (n - 1) + 9 < bar:
                 dplan = plan_int_array(deltas)
                 # r4: the deltas themselves go through the cheaper of the
                 # zebra int_array or PFoR — PFoR's single-width unpack
