@@ -265,3 +265,75 @@ def test_v2_random_structure_property(seed, tmp_path):
         want[e][attr].extend(groups)
     for i, row in enumerate(rows):
         assert row == want[i], (seed, i)
+
+
+def _v2_block_second() -> bytes:
+    """Second input: barney again (cash at overlapping times) + new apu."""
+    out = _u32(2)
+    out += _ints([10, 5])  # barney, apu  (entity order within the file)
+    out += _strings([b"barney", b"apu"])
+    out += _ints([1, 1])
+    out += _u32(2)
+    out += _ints([0, 0])  # both cash
+    out += _ints([2, 1])
+    # barney cash: (100, 9, live) (150, 7, live); apu cash: (50, 7, live)
+    out += _u32(3)
+    out += _ints([100, 150, 50])
+    out += _ints([9, 7, 7])
+    out += _ints([0, 0, 0])
+    out += _u32(1)
+    out += _ints([0])
+    out += _ints([3])
+    out += _doubles([1.0, 2.0, 3.0])
+    return bytes(out)
+
+
+def test_v2_fast_merge_semantics(spark, v2_path, tmp_path):
+    """zebra_merge.c:41-46 ordering: time ASC, factset_id DESC, input order
+    on exact ties; entities unioned by key."""
+    from zebra_spark.operators.zfile_v2 import fast_merge_v2
+
+    p2 = tmp_path / "facts2.zebra"
+    p2.write_bytes(_v2_header() + _v2_block_second())
+    merged = fast_merge_v2(spark, [[v2_path], [str(p2)]])
+    rows = {r["entity_id"]: r.asDict(recursive=True) for r in merged.collect()}
+    assert set(rows) == {"barney", "marge", "apu"}
+    b_cash = rows["barney"]["cash"]
+    # input1: (100,7)x2 values [27.5(live), 0.0(tomb)], (200,7) [13.25]
+    # input2: (100,9) [1.0], (150,7) [2.0]
+    # merged order: (100,9) then (100,7) [fsid DESC] then (150,7), (200,7)
+    assert [(e["time"], e["factset_id"]) for e in b_cash] == [
+        (100, 9), (100, 7), (150, 7), (200, 7)
+    ]
+    assert [v["v_some"] for v in b_cash[1]["values"]] == [27.5, 0.0]
+    assert [v["tag"] for v in b_cash[1]["values"]] == [1, 0]
+    assert rows["apu"]["cash"] == [
+        {"time": 50, "factset_id": 7, "values": [{"tag": 1, "v_some": 3.0}]}
+    ]
+    assert rows["apu"]["name"] == []
+    # enum layout metadata survives the merge (V3 write depends on it)
+    tagmd = merged.schema["cash"].dataType.elementType["values"].dataType.elementType["tag"].metadata
+    assert "zebra.enum" in tagmd
+
+
+def test_v2_fast_merge_cli_to_v3(spark, v2_path, tmp_path, capsys):
+    import glob as g
+
+    import tools.zs as zs
+    from zebra_spark.operators.zfile import read_zebra_files
+
+    p2 = tmp_path / "facts2.zebra"
+    p2.write_bytes(_v2_header() + _v2_block_second())
+    out = str(tmp_path / "merged_v3")
+    zs.main([
+        "--master", "local[2]", "fast-merge",
+        "--inputs", f"{v2_path},{p2}", "--output", out,
+    ])
+    files = sorted(g.glob(f"{out}/*.zebra"))
+    assert files
+    back = read_zebra_files(spark, files)
+    rows = {r["key"]["entity_id"]: r.asDict(recursive=True) for r in back.collect()}
+    assert set(rows) == {"barney", "marge", "apu"}
+    assert [(e["time"], e["factset_id"]) for e in rows["barney"]["value"]["cash"]] == [
+        (100, 9), (100, 7), (150, 7), (200, 7)
+    ]

@@ -304,6 +304,35 @@ def cmd_facts(args):
         print(r)
 
 
+def cmd_fast_merge(args):
+    """`zebra fast-merge` parity: k-way merge of V2 factset file sets
+    ((time ASC, factset_id DESC) per entity/attribute, input order breaks
+    ties — zebra_merge.c:27-77), written forward as V3 map-table files."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from zebra_spark.operators.zfile import write_zebra_files
+    from zebra_spark.operators.zfile_v2 import fast_merge_v2
+    from zebra_spark.operators.zschema import MAP_TABLE_META
+
+    spark = _spark(args)
+    input_sets = [
+        sorted(_glob.glob(spec)) or [spec] for spec in args.inputs.split(",")
+    ]
+    df = fast_merge_v2(spark, input_sets)
+    attrs = [c for c in df.columns if c not in ("entity_hash", "entity_id")]
+    out = df.select(
+        F.struct("entity_hash", "entity_id").alias(
+            "key", metadata={MAP_TABLE_META: True}
+        ),
+        F.struct(*attrs).alias("value"),
+    ).sortWithinPartitions("key")
+    manifest = write_zebra_files(out, args.output, rows_per_block=args.block_rows)
+    for r in manifest.collect():
+        print(json.dumps(r.asDict(), default=str))
+
+
 def cmd_upgrade(args):
     """Convert legacy V2 factset files to self-describing V3 files in the
     generic map form (key = entity struct, value = struct of attributes) —
@@ -457,6 +486,13 @@ def main(argv=None):
     p.add_argument("--input", required=True, help="V2 file path or glob")
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_facts)
+
+    p = sub.add_parser("fast-merge", help="k-way merge V2 factset file sets -> V3 map-table files")
+    p.add_argument("--inputs", required=True,
+                   help="comma-separated V2 paths/globs, one logical input each")
+    p.add_argument("--output", required=True, help="directory for V3 files")
+    p.add_argument("--block-rows", type=int, default=1 << 16)
+    p.set_defaults(fn=cmd_fast_merge)
 
     p = sub.add_parser("upgrade", help="convert ||ZEBRA||00002|| factsets to V3 map-table files")
     p.add_argument("--input", required=True, help="V2 file path or glob")

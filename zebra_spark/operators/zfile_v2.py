@@ -53,7 +53,9 @@ __all__ = [
     "read_v2_header",
     "open_zebra_v2_stream",
     "read_zebra_v2_files",
+    "spark_schema_v2",
     "v2_facts",
+    "fast_merge_v2",
 ]
 
 
@@ -584,3 +586,91 @@ def v2_facts(df):
             F.col("v.value").alias("value"),
         )
     )
+
+
+def fast_merge_v2(spark, input_sets: list, chunk_bytes: int = 1 << 20):
+    """`zebra fast-merge` semantics over legacy V2 factset file sets: the
+    k-way per-(entity, attribute) fact merge ordered by time ASCENDING
+    then factset_id DESCENDING (the Reversed ordering zebra_merge.c:41-46
+    implements: ``in_time < min_time || (in_time == min_time && in_fsid >
+    min_fsid)``), with INPUT ORDER breaking exact (time, factset) ties
+    (strict comparison keeps the first-seen input) and entities unioned by
+    key.  Returns the merged generic map-form DataFrame (same schema as
+    :func:`read_zebra_v2_files`) — write it forward with `zs upgrade`'s V3
+    shape rather than back to the legacy container.
+
+    Distributed shape: one union scan (cached), per attribute two
+    aggregations keyed by entity — no driver-side data.  factset_id is
+    assumed non-negative (zebra allocates them from 0) so ``-factset_id``
+    is a safe descending sort key.
+    """
+    from pyspark.sql import functions as F
+
+    dfs = [read_zebra_v2_files(spark, ps, chunk_bytes) for ps in input_sets]
+    names, nodes = read_v2_header(
+        (input_sets[0] if isinstance(input_sets[0], list) else [input_sets[0]])[0]
+    )
+    schema = spark_schema_v2(names, nodes)
+    for d in dfs[1:]:
+        if [f.name for f in d.schema.fields] != [f.name for f in schema.fields]:
+            raise ValueError("fast-merge: inputs disagree on attribute names")
+    attrs = [f.name for f in schema.fields if f.name not in ("entity_hash", "entity_id")]
+    u = dfs[0].withColumn("__rank", F.lit(0))
+    for i, d in enumerate(dfs[1:], start=1):
+        u = u.unionByName(d.withColumn("__rank", F.lit(i)))
+    u = u.cache()
+    out = u.select("entity_hash", "entity_id").distinct()
+    for a in attrs:
+        ex = u.select(
+            "entity_hash",
+            "entity_id",
+            "__rank",
+            F.explode(a).alias("e"),
+        ).select(
+            "entity_hash",
+            "entity_id",
+            "__rank",
+            F.col("e.time").alias("t"),
+            F.col("e.factset_id").alias("f"),
+            F.col("e.values").alias("vs"),
+        )
+        # facts at the SAME (time, factset) from different inputs append in
+        # input order (the C loop's strict > keeps the earlier input first)
+        same_key = ex.groupBy("entity_hash", "entity_id", "t", "f").agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__rank"), F.col("vs")))
+                    ),
+                    lambda x: x["vs"],
+                )
+            ).alias("merged")
+        )
+        per_entity = same_key.groupBy("entity_hash", "entity_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("t"),
+                            (-F.col("f")).alias("nf"),  # descending factset
+                            F.col("f"),
+                            F.col("merged"),
+                        )
+                    )
+                ),
+                lambda x: F.struct(
+                    x["t"].alias("time"),
+                    x["f"].alias("factset_id"),
+                    x["merged"].alias("values"),
+                ),
+            ).alias(a)
+        )
+        out = out.join(per_entity, ["entity_hash", "entity_id"], "left")
+    for a in attrs:
+        elem = schema[a].dataType.elementType
+        out = out.withColumn(
+            a, F.coalesce(F.col(a), F.array().cast(T.ArrayType(elem, False)))
+        )
+    # restore the metadata-faithful schema (enum layout on tag fields,
+    # reversed factset_id) so a V3 write gets a true enum header
+    return out.to(schema)
