@@ -337,3 +337,49 @@ def test_v2_fast_merge_cli_to_v3(spark, v2_path, tmp_path, capsys):
     assert [(e["time"], e["factset_id"]) for e in rows["barney"]["value"]["cash"]] == [
         (100, 9), (100, 7), (150, 7), (200, 7)
     ]
+
+
+def test_v2_multiblock_entity_span_upgrade(spark, tmp_path):
+    """An entity spanning two V2 blocks reads as two rows; `zs upgrade`
+    collapses them into one map-table row with facts re-merged in (time,
+    factset DESC) order before the V3 write (dup-free key invariant)."""
+    import glob as g
+
+    import tools.zs as zs
+    from zebra_spark.operators.zfile import read_zebra_files
+    from zebra_spark.operators.zfile_v2 import read_zebra_v2_files
+
+    def blk(ent, hash_, facts):
+        out = _u32(1)
+        out += _ints([hash_])
+        out += _strings([ent])
+        out += _ints([1])
+        out += _u32(1) + _ints([0]) + _ints([len(facts)])
+        out += _u32(len(facts))
+        out += _ints([t for t, _, _ in facts])
+        out += _ints([f for _, f, _ in facts])
+        out += _ints([tb for _, _, tb in facts])
+        out += _u32(1) + _ints([0]) + _ints([len(facts)])
+        out += _doubles([float(i) for i in range(len(facts))])
+        return bytes(out)
+
+    hdr = MAGIC_V2 + _u32(1) + _strings([b"cash"]) + _strings(
+        [json.dumps({"array": {"element": CASH}}).encode()]
+    )
+    p = tmp_path / "span.zebra"
+    p.write_bytes(
+        hdr
+        + blk(b"barney", 10, [(100, 7, 0), (110, 7, 0)])
+        + blk(b"barney", 10, [(120, 7, 0)])
+    )
+    raw = read_zebra_v2_files(spark, [str(p)])
+    assert raw.count() == 2  # two rows before collapsing
+    out = str(tmp_path / "v3")
+    zs.main(["--master", "local[2]", "upgrade", "--input", str(p), "--output", out])
+    back = read_zebra_files(spark, sorted(g.glob(f"{out}/*.zebra")))
+    rows = back.collect()
+    assert len(rows) == 1
+    cash = rows[0].asDict(recursive=True)["value"]["cash"]
+    assert [(e["time"], e["factset_id"]) for e in cash] == [
+        (100, 7), (110, 7), (120, 7)
+    ]

@@ -348,6 +348,20 @@ def cmd_upgrade(args):
     spark = _spark(args)
     paths = sorted(_glob.glob(args.input)) or [args.input]
     df = read_zebra_v2_files(spark, paths)
+    dup = (
+        df.groupBy("entity_hash", "entity_id").count().filter("count > 1").isEmpty()
+    )
+    if not dup:
+        # an entity spanning blocks (or files) reads as multiple rows; the
+        # V3 map table needs dup-free keys — collapse via the merge path
+        from zebra_spark.operators.zfile_v2 import (
+            merge_map_form,
+            read_v2_header,
+            spark_schema_v2,
+        )
+
+        names, nodes = read_v2_header(paths[0])
+        df = merge_map_form([df], spark_schema_v2(names, nodes))
     attrs = [c for c in df.columns if c not in ("entity_hash", "entity_id")]
     out = df.select(
         F.struct("entity_hash", "entity_id").alias(

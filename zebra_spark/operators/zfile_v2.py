@@ -56,6 +56,7 @@ __all__ = [
     "spark_schema_v2",
     "v2_facts",
     "fast_merge_v2",
+    "merge_map_form",
 ]
 
 
@@ -614,6 +615,16 @@ def fast_merge_v2(spark, input_sets: list, chunk_bytes: int = 1 << 20):
     for d in dfs[1:]:
         if [f.name for f in d.schema.fields] != [f.name for f in schema.fields]:
             raise ValueError("fast-merge: inputs disagree on attribute names")
+    return merge_map_form(dfs, schema)
+
+
+def merge_map_form(dfs: list, schema: T.StructType):
+    """Merge generic map-form DataFrames per the fast-merge ordering.  Also
+    collapses DUPLICATE entity rows within one input (an entity spanning
+    two V2 blocks reads as two rows; its facts are sorted by (time,
+    factset) across blocks, so the same sort reassembles them)."""
+    from pyspark.sql import functions as F
+
     attrs = [f.name for f in schema.fields if f.name not in ("entity_hash", "entity_id")]
     u = dfs[0].withColumn("__rank", F.lit(0))
     for i, d in enumerate(dfs[1:], start=1):
