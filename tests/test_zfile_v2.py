@@ -383,3 +383,21 @@ def test_v2_multiblock_entity_span_upgrade(spark, tmp_path):
     assert [(e["time"], e["factset_id"]) for e in cash] == [
         (100, 7), (110, 7), (120, 7)
     ]
+
+
+def test_v2_upgrade_export_ztxt_chain(v2_path, tmp_path, capsys):
+    """Full modernization chain: V2 factset -> upgrade (V3 map table) ->
+    ztxt export renders reference-style lines — single-key enum variant
+    objects ({"some": 27.5} / {"none": {}}), base64 binary, map-table
+    {"key": ..., "value": ...} rows."""
+    import tools.zs as zs
+
+    out = str(tmp_path / "v3")
+    zs.main(["--master", "local[2]", "upgrade", "--input", v2_path, "--output", out])
+    capsys.readouterr()
+    zs.main(["export", "--input", out, "--output-stdout"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    barney = next(l for l in lines if l["key"]["entity_id"] == "barney")
+    assert barney["value"]["cash"][0]["values"] == [{"some": 27.5}, {"none": {}}]
+    assert barney["value"]["name"][0]["values"] == [{"some": "aG9tZXI="}]  # b64
