@@ -157,6 +157,11 @@ def scaling_runs():
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(med, 3),
+        # diagnostics: max clamped pair = cleanest-window estimate (biased
+        # up when a lo leg was throttled without pushing the pair over 1.0,
+        # so it is NOT the headline); bestof pairs best lo vs best hi
+        # across iterations (can cross windows, also not the headline)
+        "scaling_efficiency_max_clamped": round(max(clamped), 3),
         "scaling_efficiency_bestof": round(eff_bestof, 3),
         "scaling_pairs": [round(e, 3) for e in eff_pairs],
         "scaling_pairs_throttle_artifacts": n_throttle_artifacts,
