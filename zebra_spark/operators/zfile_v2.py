@@ -607,10 +607,9 @@ def fast_merge_v2(spark, input_sets: list, chunk_bytes: int = 1 << 20):
     """
     from pyspark.sql import functions as F
 
+    input_sets = [ps if isinstance(ps, list) else [ps] for ps in input_sets]
     dfs = [read_zebra_v2_files(spark, ps, chunk_bytes) for ps in input_sets]
-    names, nodes = read_v2_header(
-        (input_sets[0] if isinstance(input_sets[0], list) else [input_sets[0]])[0]
-    )
+    names, nodes = read_v2_header(input_sets[0][0])
     schema = spark_schema_v2(names, nodes)
     for d in dfs[1:]:
         if [f.name for f in d.schema.fields] != [f.name for f in schema.fields]:
