@@ -590,6 +590,10 @@ def _q_cat_blocks(spark, sf_dir):
     from zebra_spark.operators.encode import encode_df
     from zebra_spark.plans.summary import block_manifest
 
+    # block chunking restarts at every Arrow batch boundary, so the exact
+    # ceil-arithmetic oracle needs the batch size to be a multiple of the
+    # block size — pin it rather than assume the session default
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 16))
     docs = (
         _load(spark, sf_dir, "documents")
         .repartition(1)

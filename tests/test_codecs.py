@@ -326,3 +326,21 @@ def test_delta_handicap_waived_on_large_size_win(monkeypatch):
     assert c == IntCodec.DELTA, IntCodec.NAMES[c]
     out, _ = decode_ints(c, payload, len(vals))
     np.testing.assert_array_equal(out, vals)
+
+
+def test_delta_v0_legacy_wire_still_decodes():
+    """Blocks persisted before the r4 inner-codec wire carry DELTA_V0
+    (i64 first | zebra int_array of deltas) — decode and skip must keep
+    reading them (resumable encode outputs survive upgrades)."""
+    import numpy as np
+
+    from zebra_spark.codec.codecs import IntCodec, decode_ints, skip_ints
+    from zebra_spark.codec.intcodec import pack_int_array
+
+    vals = np.cumsum(np.arange(1, 300, dtype=np.int64))
+    deltas = np.subtract(vals[1:], vals[:-1], dtype=np.int64)
+    legacy = np.int64(vals[0]).astype("<i8").tobytes() + pack_int_array(deltas)
+    out, pos = decode_ints(IntCodec.DELTA_V0, legacy, len(vals))
+    np.testing.assert_array_equal(out, vals)
+    assert pos == len(legacy)
+    assert skip_ints(IntCodec.DELTA_V0, legacy, len(vals), 0) == len(legacy)

@@ -401,3 +401,67 @@ def test_v2_upgrade_export_ztxt_chain(v2_path, tmp_path, capsys):
     barney = next(l for l in lines if l["key"]["entity_id"] == "barney")
     assert barney["value"]["cash"][0]["values"] == [{"some": 27.5}, {"none": {}}]
     assert barney["value"]["name"][0]["values"] == [{"some": "aG9tZXI="}]  # b64
+
+
+MAPATTR = {"nested": {"table": {"map": {"key": {"int": {}}, "value": {"int": {}}}}}}
+
+
+def test_v2_map_attribute_merge(spark, tmp_path):
+    """An attribute whose value is a nested MAP table (unorderable type in
+    Spark) must still merge: the sort comparators compare scalar key
+    fields only, never the values payload."""
+    from zebra_spark.operators.zfile_v2 import fast_merge_v2
+
+    hdr = MAGIC_V2 + _u32(1) + _strings([b"tags"]) + _strings(
+        [json.dumps({"array": {"element": MAPATTR}}).encode()]
+    )
+
+    def blk(facts_kv):
+        out = _u32(1) + _ints([10]) + _strings([b"barney"]) + _ints([1])
+        out += _u32(1) + _ints([0]) + _ints([len(facts_kv)])
+        out += _u32(len(facts_kv))
+        out += _ints([t for t, _, _ in facts_kv])
+        out += _ints([f for _, f, _ in facts_kv])
+        out += _ints([0] * len(facts_kv))
+        out += _u32(1) + _ints([0]) + _ints([len(facts_kv)])
+        # nested map column: ns + u32 inner_n + key int_array + value int_array
+        sizes = [len(kv) for _, _, kv in facts_kv]
+        ks = [k for _, _, kv in facts_kv for k, _ in kv]
+        vs = [v for _, _, kv in facts_kv for _, v in kv]
+        out += _ints(sizes) + _u32(len(ks)) + _ints(ks) + _ints(vs)
+        return bytes(out)
+
+    p1 = tmp_path / "m1.zebra"
+    p1.write_bytes(hdr + blk([(100, 7, [(1, 10), (2, 20)])]))
+    p2 = tmp_path / "m2.zebra"
+    p2.write_bytes(hdr + blk([(100, 9, [(3, 30)])]))
+    merged = fast_merge_v2(spark, [[str(p1)], [str(p2)]])
+    row = merged.collect()[0].asDict(recursive=True)
+    assert [(e["time"], e["factset_id"]) for e in row["tags"]] == [(100, 9), (100, 7)]
+    assert row["tags"][1]["values"][0]["v_some"] == {1: 10, 2: 20}
+
+
+def test_v2_zero_count_attribute_entry(tmp_path):
+    """The reference densifies blocks with BlockAttribute(aid, 0) entries;
+    a trailing zero-count entry must not crash the grouping (r4 review:
+    starts[bounds] could index at n)."""
+    hdr = MAGIC_V2 + _u32(2) + _strings([b"cash", b"name"]) + _strings([
+        json.dumps({"array": {"element": CASH}}).encode(),
+        json.dumps({"array": {"element": NAME}}).encode(),
+    ])
+    out = _u32(1) + _ints([10]) + _strings([b"barney"]) + _ints([2])
+    out += _u32(2) + _ints([0, 1]) + _ints([2, 0])  # name: dense ZERO entry
+    out += _u32(2) + _ints([100, 100]) + _ints([7, 7]) + _ints([0, 0])
+    out += _u32(2) + _ints([0, 1]) + _ints([2, 0])
+    out += _doubles([1.0, 2.0])
+    out += _ints([]) + _u32(0) + pack_sized_byte_array(b"")  # empty name table
+    p = tmp_path / "dense.zebra"
+    p.write_bytes(hdr + bytes(out))
+    with open(p, "rb") as f:
+        _, blocks, _ = open_zebra_v2_stream(f)
+        rows = [r for b in blocks for r in b.to_pylist()]
+    assert rows[0]["cash"] == [
+        {"time": 100, "factset_id": 7,
+         "values": [{"tag": 1, "v_some": 1.0}, {"tag": 1, "v_some": 2.0}]}
+    ]
+    assert rows[0]["name"] == []

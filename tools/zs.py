@@ -150,7 +150,15 @@ def cmd_cat(args):
         # block-metadata manifest (no payload decode)
         from zebra_spark.plans.summary import block_manifest
 
-        blocks = spark.read.parquet(args.input)
+        try:
+            blocks = spark.read.parquet(args.input)
+            _ = blocks.schema["block_id"], blocks.schema["n_rows"]
+        except Exception as e:
+            raise SystemExit(
+                "zs cat --blocks requires a blocks-parquet directory "
+                "(the output of encode_df(...).write.parquet); for .zebra "
+                f"files use plain `zs cat` or `zs summary`.  ({e})"
+            )
         df = block_manifest(blocks).orderBy("part_start", "key_min")
     else:
         _, df = _read_blocks(spark, args.input)
@@ -304,23 +312,15 @@ def cmd_facts(args):
         print(r)
 
 
-def cmd_fast_merge(args):
-    """`zebra fast-merge` parity: k-way merge of V2 factset file sets
-    ((time ASC, factset_id DESC) per entity/attribute, input order breaks
-    ties — zebra_merge.c:27-77), written forward as V3 map-table files."""
-    import glob as _glob
-
+def _write_v3_map(df, output: str, block_rows: int):
+    """Shared V3 write tail for upgrade/fast-merge: generic map-table
+    shape (key = entity struct with MAP_TABLE_META, value = attr struct),
+    manifest printed as JSON lines."""
     from pyspark.sql import functions as F
 
     from zebra_spark.operators.zfile import write_zebra_files
-    from zebra_spark.operators.zfile_v2 import fast_merge_v2
     from zebra_spark.operators.zschema import MAP_TABLE_META
 
-    spark = _spark(args)
-    input_sets = [
-        sorted(_glob.glob(spec)) or [spec] for spec in args.inputs.split(",")
-    ]
-    df = fast_merge_v2(spark, input_sets)
     attrs = [c for c in df.columns if c not in ("entity_hash", "entity_id")]
     out = df.select(
         F.struct("entity_hash", "entity_id").alias(
@@ -328,9 +328,24 @@ def cmd_fast_merge(args):
         ),
         F.struct(*attrs).alias("value"),
     ).sortWithinPartitions("key")
-    manifest = write_zebra_files(out, args.output, rows_per_block=args.block_rows)
+    manifest = write_zebra_files(out, output, rows_per_block=block_rows)
     for r in manifest.collect():
         print(json.dumps(r.asDict(), default=str))
+
+
+def cmd_fast_merge(args):
+    """`zebra fast-merge` parity: k-way merge of V2 factset file sets
+    ((time ASC, factset_id DESC) per entity/attribute, input order breaks
+    ties — zebra_merge.c:27-77), written forward as V3 map-table files."""
+    import glob as _glob
+
+    from zebra_spark.operators.zfile_v2 import fast_merge_v2
+
+    spark = _spark(args)
+    input_sets = [
+        sorted(_glob.glob(spec)) or [spec] for spec in args.inputs.split(",")
+    ]
+    _write_v3_map(fast_merge_v2(spark, input_sets), args.output, args.block_rows)
 
 
 def cmd_upgrade(args):
@@ -339,19 +354,17 @@ def cmd_upgrade(args):
     the forward path the reference's own tableOfBlock defines."""
     import glob as _glob
 
-    from pyspark.sql import functions as F
-
-    from zebra_spark.operators.zfile import write_zebra_files
     from zebra_spark.operators.zfile_v2 import read_zebra_v2_files
-    from zebra_spark.operators.zschema import MAP_TABLE_META
 
     spark = _spark(args)
     paths = sorted(_glob.glob(args.input)) or [args.input]
-    df = read_zebra_v2_files(spark, paths)
-    dup = (
+    # cache: the V2 python block parse dominates cost and feeds BOTH the
+    # duplicate-key check and the write (3 scans -> 1 without it)
+    df = read_zebra_v2_files(spark, paths).cache()
+    dup_free = (
         df.groupBy("entity_hash", "entity_id").count().filter("count > 1").isEmpty()
     )
-    if not dup:
+    if not dup_free:
         # an entity spanning blocks (or files) reads as multiple rows; the
         # V3 map table needs dup-free keys — collapse via the merge path
         from zebra_spark.operators.zfile_v2 import (
@@ -362,16 +375,7 @@ def cmd_upgrade(args):
 
         names, nodes = read_v2_header(paths[0])
         df = merge_map_form([df], spark_schema_v2(names, nodes))
-    attrs = [c for c in df.columns if c not in ("entity_hash", "entity_id")]
-    out = df.select(
-        F.struct("entity_hash", "entity_id").alias(
-            "key", metadata={MAP_TABLE_META: True}
-        ),
-        F.struct(*attrs).alias("value"),
-    ).sortWithinPartitions("key")
-    manifest = write_zebra_files(out, args.output, rows_per_block=args.block_rows)
-    for r in manifest.collect():
-        print(json.dumps(r.asDict(), default=str))
+    _write_v3_map(df, args.output, args.block_rows)
 
 
 def cmd_consistency(args):

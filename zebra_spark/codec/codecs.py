@@ -53,18 +53,22 @@ class IntCodec:
     CONSTANT = 1
     RLE = 2
     DICT = 3
-    DELTA = 4
+    DELTA_V0 = 4  # legacy wire (i64 first | zebra int_array) — decode-only
     PFOR = 5  # patched FoR: fixed base width + exception list (Lemire 2012)
     ALP = 6  # decimal floats as scaled ints (ALP, Afroozeh & Boncz 2023)
+    # r4 wire adds an inner-codec byte; a NEW id keeps blocks persisted by
+    # older builds decodable (resumable run_encode_job outputs)
+    DELTA = 7  # i64 first | u8 inner_codec | inner payload (n-1 deltas)
 
     NAMES = {
         0: "zebra",
         1: "constant",
         2: "rle",
         3: "dict",
-        4: "delta",
+        4: "delta-v0",
         5: "pfor",
         6: "alp",
+        7: "delta",
     }
 
 
@@ -514,6 +518,8 @@ def skip_ints(codec: int, buf, n: int, pos: int = 0) -> int:
     if codec == IntCodec.DICT:
         p = int_array_end(pos + 4)
         return int_array_end(p)
+    if codec == IntCodec.DELTA_V0:
+        return int_array_end(pos + 8)
     if codec == IntCodec.DELTA:
         # i64 first | u8 inner_codec | inner payload (n-1 deltas)
         return skip_ints(mv[pos + 8], mv, n - 1, pos + 9)
@@ -584,6 +590,16 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
         uniq, p = unpack_int_array(mv, n_dict, pos + 4)
         idx, p = unpack_int_array(mv, n, p)
         return uniq[idx], p
+    if codec == IntCodec.DELTA_V0:
+        # legacy wire: deltas as one zebra int_array directly
+        first = int(np.frombuffer(mv[pos : pos + 8], dtype="<i8")[0])
+        deltas, p = unpack_int_array(mv, n - 1, pos + 8)
+        out = np.empty(n, dtype=_I64)
+        out[0] = first
+        with np.errstate(over="ignore"):
+            np.cumsum(deltas, dtype=_I64, out=out[1:])
+            out[1:] += _I64(first)
+        return out, p
     if codec == IntCodec.DELTA:
         first = int(np.frombuffer(mv[pos : pos + 8], dtype="<i8")[0])
         inner = mv[pos + 8]

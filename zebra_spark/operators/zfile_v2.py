@@ -229,7 +229,10 @@ def _run_starts(times: np.ndarray, fids: np.ndarray, bounds: np.ndarray):
     if n:
         starts[0] = True
         starts[1:] = (times[1:] != times[:-1]) | (fids[1:] != fids[:-1])
-        starts[bounds] = True  # segment starts always begin a group
+        # segment starts always begin a group; a ZERO-count attribute entry
+        # (the reference densifies blocks with BlockAttribute(aid, 0)) puts
+        # its start at the next entry's offset — possibly n — so clamp
+        starts[bounds[bounds < n]] = True
     return starts
 
 
@@ -503,6 +506,7 @@ def read_zebra_v2_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
     factset_id) so `zs upgrade` can re-encode to V3 losslessly."""
     names, nodes = read_v2_header(paths[0])
     spark_schema = spark_schema_v2(names, nodes)
+    expected = _arrow_schema(names, nodes)
     pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         max(1, len(paths))
     )
@@ -511,7 +515,16 @@ def read_zebra_v2_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
         for rb in batches:
             for p in rb.column("path").to_pylist():
                 with open(p, "rb") as f:
-                    _, blocks, _ = open_zebra_v2_stream(f, chunk_bytes)
+                    got, blocks, _ = open_zebra_v2_stream(f, chunk_bytes)
+                    # batches bind to the declared schema POSITIONALLY, so
+                    # a file with reordered/different attributes must fail
+                    # loudly, not land values in the wrong columns
+                    if not got.equals(expected):
+                        raise ValueError(
+                            f"V2 header mismatch in {p}: attributes "
+                            f"{got.names} vs expected {expected.names} "
+                            "(all files of one read must share the header)"
+                        )
                     yield from blocks
 
     return pdf.mapInArrow(run, schema=spark_schema)
@@ -625,21 +638,41 @@ def merge_map_form(dfs: list, schema: T.StructType):
     from pyspark.sql import functions as F
 
     attrs = [f.name for f in schema.fields if f.name not in ("entity_hash", "entity_id")]
+    # __rank = input index; __seq = deterministic within-input row order
+    # (one file per partition, rows in block order) so exact (time,
+    # factset) ties across BLOCKS of one input keep first-seen order too,
+    # matching the C kernel's stable merge
     u = dfs[0].withColumn("__rank", F.lit(0))
     for i, d in enumerate(dfs[1:], start=1):
         u = u.unionByName(d.withColumn("__rank", F.lit(i)))
-    u = u.cache()
+    u = u.withColumn("__seq", F.monotonically_increasing_id()).cache()
+
+    def by_fields(*names):
+        # comparator over scalar key fields ONLY — the structs carry the
+        # values payload, which may contain maps (unorderable in Spark)
+        def cmp(x, y):
+            expr = F.lit(0)
+            for nm in reversed(names):
+                expr = F.when(x[nm] < y[nm], F.lit(-1)).when(
+                    x[nm] > y[nm], F.lit(1)
+                ).otherwise(expr)
+            return expr
+
+        return cmp
+
     out = u.select("entity_hash", "entity_id").distinct()
     for a in attrs:
         ex = u.select(
             "entity_hash",
             "entity_id",
             "__rank",
+            "__seq",
             F.explode(a).alias("e"),
         ).select(
             "entity_hash",
             "entity_id",
             "__rank",
+            "__seq",
             F.col("e.time").alias("t"),
             F.col("e.factset_id").alias("f"),
             F.col("e.values").alias("vs"),
@@ -650,7 +683,10 @@ def merge_map_form(dfs: list, schema: T.StructType):
             F.flatten(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("__rank"), F.col("vs")))
+                        F.collect_list(
+                            F.struct(F.col("__rank"), F.col("__seq"), F.col("vs"))
+                        ),
+                        by_fields("__rank", "__seq"),
                     ),
                     lambda x: x["vs"],
                 )
@@ -666,7 +702,8 @@ def merge_map_form(dfs: list, schema: T.StructType):
                             F.col("f"),
                             F.col("merged"),
                         )
-                    )
+                    ),
+                    by_fields("t", "nf"),
                 ),
                 lambda x: F.struct(
                     x["t"].alias("time"),
