@@ -15,8 +15,9 @@ right layout at cluster scale.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), ZS_BENCH_ROWS (default 1_000_000),
-ZS_BENCH_ITERS (default 3, palindrome iterations), ZS_BENCH_LO / ZS_BENCH_HI (parallelism pair,
-default CPUS//4 and CPUS), ZS_BENCH_SKIP_SCALING=1 to skip scaling runs.
+ZS_BENCH_ITERS (default 3, palindrome iterations), ZS_BENCH_LO /
+ZS_BENCH_HI (parallelism pair, default 1 and 4 — N vs 4N inside the
+host's sustained-core grant), ZS_BENCH_SKIP_SCALING=1 to skip scaling.
 """
 
 from __future__ import annotations
@@ -42,12 +43,15 @@ BENCH_ROWS = int(os.environ.get("ZS_BENCH_ROWS", "250000"))
 # multi-minute throttle windows; the median over 3 tolerates one
 # contaminated iteration
 ITERS = int(os.environ.get("ZS_BENCH_ITERS", "3"))
-# Default scaling pair is 2 -> 8 (N and 4N): this sandbox's host grants at
-# most ~8 cores' worth of sustained vectorized compute (BENCH/BASELINE.md
-# section 3), so pairs beyond 8 measure host contention, not the engine.
-# Override with ZS_BENCH_LO / ZS_BENCH_HI (e.g. 8 and 32).
-LO = int(os.environ.get("ZS_BENCH_LO", "2"))
-HI = int(os.environ.get("ZS_BENCH_HI", "8"))
+# Default scaling pair is 1 -> 4 (N and 4N).  The host grants only ~3-4
+# cores' worth of SUSTAINED vectorized compute in throttled windows
+# (BENCH/BASELINE.md sections 3 and 9.6: a Spark-free 4-process run hits
+# 13.4 M tok/s — the same ceiling an 8-thread run hits), so a 2->8 pair
+# measures the host's core grant, not the engine; 1->4 fits inside the
+# grant and the spark-free probe (tools/mp_scaling.py) corroborates it.
+# Override with ZS_BENCH_LO / ZS_BENCH_HI (e.g. 2 and 8).
+LO = int(os.environ.get("ZS_BENCH_LO", "1"))
+HI = int(os.environ.get("ZS_BENCH_HI", "4"))
 F1_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench", f"f1_{BENCH_ROWS}.parquet"
 )
