@@ -38,6 +38,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # interleave the two levels more fairly.  ZS_BENCH_ROWS=1000000 for the
 # big input (also cached).
 BENCH_ROWS = int(os.environ.get("ZS_BENCH_ROWS", "250000"))
+# scaling legs use a SMALLER input: efficiency is a ratio, and the lo=1
+# leg on 250k rows runs ~2 min per rep in throttled windows (6 reps ->
+# the whole bench blows past any reasonable budget); 100k keeps a full
+# 3-palindrome sweep near ~6 min worst-case with the same ratio
+SCALING_ROWS = int(os.environ.get("ZS_BENCH_SCALING_ROWS", "100000"))
 # 3 palindrome iterations (lo,hi,hi,lo each): drift-canceling pairs are
 # far more robust than plain interleaved pairs on this host's
 # multi-minute throttle windows; the median over 3 tolerates one
@@ -55,27 +60,36 @@ HI = int(os.environ.get("ZS_BENCH_HI", "4"))
 F1_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench", f"f1_{BENCH_ROWS}.parquet"
 )
+F1_SCALING_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench", f"f1_{SCALING_ROWS}.parquet"
+)
 
 
 def ensure_f1_input():
-    if os.path.exists(os.path.join(F1_PATH, "_SUCCESS")):
+    todo = [
+        (p, n)
+        for p, n in ((F1_PATH, BENCH_ROWS), (F1_SCALING_PATH, SCALING_ROWS))
+        if not os.path.exists(os.path.join(p, "_SUCCESS"))
+    ]
+    if not todo:
         return
     from zebra_spark.session import get_spark
     from zebra_spark.sources.synth import f1_table
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="zs-bench-gen")
     spark.sparkContext.setLogLevel("ERROR")
-    df = f1_table(spark, BENCH_ROWS, partitions=4 * CPUS, rows_per_batch=1 << 13)
-    df.write.mode("overwrite").parquet(F1_PATH)
+    for p, n in todo:
+        df = f1_table(spark, n, partitions=4 * CPUS, rows_per_batch=1 << 13)
+        df.write.mode("overwrite").parquet(p)
     spark.stop()
 
 
-def encode_once(spark):
+def encode_once(spark, path=None):
     from zebra_spark.sources.parquet_direct import encode_parquet_direct
 
     t0 = time.perf_counter()
     row = (
-        encode_parquet_direct(spark, F1_PATH)
+        encode_parquet_direct(spark, path or F1_PATH)
         .groupBy()
         .agg(
             F.sum("n_rows").alias("rows"),
@@ -117,12 +131,13 @@ def scaling_runs():
             spark.sparkContext.setLogLevel("ERROR")
             if n_tokens is None:
                 n_tokens = int(
-                    spark.read.parquet(F1_PATH).agg(F.sum("n_tok")).collect()[0][0]
+                    spark.read.parquet(F1_SCALING_PATH)
+                    .agg(F.sum("n_tok")).collect()[0][0]
                 )
             if cpus not in warmed:
-                encode_once(spark)  # excluded warm-up per level
+                encode_once(spark, F1_SCALING_PATH)  # excluded warm-up
                 warmed.add(cpus)
-            dt, row = encode_once(spark)
+            dt, row = encode_once(spark, F1_SCALING_PATH)
             samples[cpus].append(dt)
             it_times[cpus].append(dt)
             if best[cpus] is None or dt < best[cpus]:
