@@ -161,13 +161,26 @@ def scaling_runs():
     eff_bestof = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / (HI / LO)
     # drift-canceling estimator: one efficiency per palindrome iteration
     eff_pairs = [(lsum / hsum) / (HI / LO) for lsum, hsum in pal_pairs]
+    # VALIDITY filter on an INDEPENDENT signal: when the host grants less
+    # than ~a third of one core to the lo=1 leg (absolute rate, nothing to
+    # do with the ratio), the HI leg physically cannot use its cores and
+    # the ratio measures the grant, not the engine.  Unthrottled
+    # single-core encode is ~8 M tok/s (BENCH/BASELINE.md 9.2); default
+    # bar 2.5 M tok/s.  Iterations below the bar are excluded from the
+    # headline median; if ALL are below, the run is flagged throttled and
+    # the median falls back to every iteration.
+    min_lo_rate = float(os.environ.get("ZS_BENCH_MIN_LO_RATE", "2.5e6"))
+    lo_rates = [n_tokens * 2 / lsum for lsum, _ in pal_pairs]
+    valid = [i for i, r in enumerate(lo_rates) if r >= min_lo_rate]
+    throttled_run = not valid
+    use = valid if valid else list(range(len(eff_pairs)))
     # headline = MEDIAN of the pair ratios: a pair ratio > 1.0 is physically
     # impossible (host-throttle contamination — the shared-window assumption
     # failed for that pair), so max() would select exactly the most
     # contaminated sample.  Clamp such pairs to 1.0 before taking the median
     # and report how many were clamped; keep raw pairs + best-of as
     # diagnostics.
-    clamped = [min(e, 1.0) for e in eff_pairs]
+    clamped = [min(eff_pairs[i], 1.0) for i in use]
     n_throttle_artifacts = sum(1 for e in eff_pairs if e > 1.0)
     med = sorted(clamped)[len(clamped) // 2] if len(clamped) % 2 else (
         sum(sorted(clamped)[len(clamped) // 2 - 1 : len(clamped) // 2 + 1]) / 2
@@ -183,6 +196,9 @@ def scaling_runs():
         "scaling_efficiency_max_clamped": round(max(clamped), 3),
         "scaling_efficiency_bestof": round(eff_bestof, 3),
         "scaling_pairs": [round(e, 3) for e in eff_pairs],
+        "scaling_lo_rates_mtoks": [round(r / 1e6, 2) for r in lo_rates],
+        "scaling_valid_iterations": len(valid),
+        "scaling_throttled_run": throttled_run,
         "scaling_pairs_throttle_artifacts": n_throttle_artifacts,
         "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
         "size_policy": size_policy_run(),
