@@ -310,11 +310,13 @@ def test_fsst_probe_cache_positive_fires_every_block(monkeypatch):
         codecs._FSST_PROBE_CACHE.pop(key, None)
 
 
-def test_delta_handicap_waived_on_large_size_win(monkeypatch):
-    """r3 verdict item: under the balanced policy DELTA pays a 5% decode
-    handicap, but a column where DELTA is >15% smaller than every
-    unhandicapped candidate gets the handicap waived — the size win buys
-    the extra cumsum pass."""
+def test_delta_selected_through_handicap_on_large_size_win(monkeypatch):
+    """Under the balanced policy DELTA pays a 5% decode handicap; a column
+    where DELTA is >15% smaller than every other candidate clears that bar
+    arithmetically (1.05 * 0.85 < 1) and must still be selected.  (r4
+    shipped an explicit "waiver" branch for this case; r4 ADVICE proved it
+    dead code — the handicap alone produces the same selection — so r5
+    removed it and this test pins the selection behavior.)"""
     from zebra_spark.codec import codecs
 
     monkeypatch.setattr(codecs, "_CODEC_POLICY", "balanced")

@@ -465,3 +465,47 @@ def test_v2_zero_count_attribute_entry(tmp_path):
          "values": [{"tag": 1, "v_some": 1.0}, {"tag": 1, "v_some": 2.0}]}
     ]
     assert rows[0]["name"] == []
+
+
+def test_v2_fast_merge_cross_file_tie_order(spark, tmp_path):
+    """Exact (time, factset) ties across FILES of one input set flatten in
+    PATH order via the explicit __file ordinal — r4 ADVICE: relying on
+    monotonically_increasing_id alone breaks when the round-robin
+    repartition's partition ids don't follow the input path list."""
+    from zebra_spark.operators.zfile_v2 import fast_merge_v2
+
+    hdr = MAGIC_V2 + _u32(1) + _strings([b"cash"]) + _strings(
+        [json.dumps({"array": {"element": CASH}}).encode()]
+    )
+
+    def one(v):
+        out = _u32(1) + _ints([10]) + _strings([b"barney"]) + _ints([1])
+        out += _u32(1) + _ints([0]) + _ints([1])
+        out += _u32(1) + _ints([100]) + _ints([7]) + _ints([0])
+        out += _u32(1) + _ints([0]) + _ints([1])
+        out += _doubles([v])
+        return bytes(out)
+
+    paths = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0]):
+        p = tmp_path / f"tie{i}.zebra"
+        p.write_bytes(hdr + one(v))
+        paths.append(str(p))
+    merged = fast_merge_v2(spark, [paths])
+    row = merged.collect()[0].asDict(recursive=True)
+    assert [(e["time"], e["factset_id"]) for e in row["cash"]] == [(100, 7)]
+    assert [x["v_some"] for x in row["cash"][0]["values"]] == [
+        1.0, 2.0, 3.0, 4.0, 5.0
+    ]
+
+
+def test_v2_header_read_doubles_past_initial_size(v2_path, monkeypatch):
+    """A header larger than the initial driver-side read parses via the
+    doubling loop instead of failing with a truncation-style error
+    (r4 ADVICE: the old single 4 MiB read had no retry)."""
+    import zebra_spark.operators.zfile_v2 as z2
+
+    monkeypatch.setattr(z2, "_HEADER_READ0", 16)  # just the magic
+    names, nodes = z2.read_v2_header(v2_path)
+    assert names == ["cash", "name"]
+    assert nodes == [CASH, NAME]

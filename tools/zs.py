@@ -359,12 +359,15 @@ def cmd_upgrade(args):
     spark = _spark(args)
     paths = sorted(_glob.glob(args.input)) or [args.input]
     # cache: the V2 python block parse dominates cost and feeds BOTH the
-    # duplicate-key check and the write (3 scans -> 1 without it)
-    df = read_zebra_v2_files(spark, paths).cache()
+    # duplicate-key check and the write (3 scans -> 1 without it).  The
+    # ordinal keeps cross-file tie order = path order in the merge path.
+    df = read_zebra_v2_files(spark, paths, with_ordinal=True).cache()
     dup_free = (
         df.groupBy("entity_hash", "entity_id").count().filter("count > 1").isEmpty()
     )
-    if not dup_free:
+    if dup_free:
+        df = df.drop("__file")
+    else:
         # an entity spanning blocks (or files) reads as multiple rows; the
         # V3 map table needs dup-free keys — collapse via the merge path
         from zebra_spark.operators.zfile_v2 import (

@@ -244,22 +244,13 @@ def encode_ints(
     # token streams), so it must be >5% smaller to win.  The <=zebra bound
     # is untouched: zebra's handicap is 1.0, so any winner satisfies
     # size * handicap < zsize => size < zsize.
+    # NOTE: a size win large enough to matter clears the handicap by
+    # arithmetic alone (size <= 0.85*best already satisfies 1.05*size <
+    # best), so there is deliberately NO separate "waiver" branch — r4
+    # shipped one and it was provably dead code (any input it fired on was
+    # already selected through the handicap).  The 1.05 factor IS the
+    # policy: DELTA must be >5% smaller to buy its extra cumsum pass.
     handicap = _DECODE_HANDICAP if _CODEC_POLICY != "size" else {}
-    if handicap:
-        # r4: a LARGE size win buys the decode cost — when the handicapped
-        # codec is >15% smaller than the best unhandicapped candidate, its
-        # handicap is waived (keeps default-policy compression near the
-        # size-policy bound instead of 3.5% above it)
-        best_plain = min(
-            (s for c, (s, _) in candidates.items() if c not in handicap),
-            default=None,
-        )
-        if best_plain is not None:
-            handicap = {
-                c: h
-                for c, h in handicap.items()
-                if c in candidates and candidates[c][0] > 0.85 * best_plain
-            }
     codec = min(
         candidates,
         key=lambda c: (candidates[c][0] * handicap.get(c, 1.0), c),

@@ -384,11 +384,31 @@ def _arrow_schema(names: list, nodes: list) -> pa.Schema:
     return pa.schema(fields)
 
 
+# initial driver-side header read; doubles until the parse succeeds
+_HEADER_READ0 = 1 << 22
+
+
 def read_v2_header(path: str):
-    """(attribute names, SchemaV0 element nodes) from a V2 file header."""
+    """(attribute names, SchemaV0 element nodes) from a V2 file header.
+
+    The header (attribute names + SchemaV0 JSON) has no size bound, so the
+    read doubles from 4 MiB until the parse stops signalling truncation —
+    a header larger than one read must not fail with a misleading
+    truncation error when the streaming path would parse it fine."""
     with open(path, "rb") as f:
-        names, nodes, _ = _parse_v2_header(memoryview(f.read(1 << 22)))
-    return names, nodes
+        size = _HEADER_READ0
+        while True:
+            f.seek(0)
+            buf = f.read(size)
+            try:
+                names, nodes, _ = _parse_v2_header(memoryview(buf))
+                return names, nodes
+            except (ValueError, IndexError, OSError):
+                # OSError = snappy's corrupt-data signal on a cut-short
+                # byte_array (same retry set as _StreamReader.parse)
+                if len(buf) < size:  # hit EOF: truly truncated/corrupt
+                    raise
+                size *= 2
 
 
 def open_zebra_v2_stream(f, chunk_bytes: int = 1 << 20):
@@ -498,22 +518,35 @@ def spark_schema_v2(names: list, nodes: list) -> T.StructType:
     return T.StructType(fields)
 
 
-def read_zebra_v2_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
+def read_zebra_v2_files(
+    spark, paths: list[str], chunk_bytes: int = 1 << 20, with_ordinal: bool = False
+):
     """Parallel read of legacy V2 factset files into the generic map-form
     DataFrame (one row per entity per block), streaming each file with
     bounded memory.  Completes the §2.2 file-format matrix read-only; the
     schema is metadata-faithful (enum layouts on tag fields, reversed
-    factset_id) so `zs upgrade` can re-encode to V3 losslessly."""
+    factset_id) so `zs upgrade` can re-encode to V3 losslessly.
+
+    ``with_ordinal=True`` appends a ``__file`` column carrying each row's
+    path index (position in ``paths``): partition layout after the
+    round-robin repartition does NOT follow path order, so consumers that
+    need stable first-seen tie order across files (merge_map_form) sort on
+    this explicit ordinal instead of trusting partition ids."""
     names, nodes = read_v2_header(paths[0])
     spark_schema = spark_schema_v2(names, nodes)
+    if with_ordinal:
+        spark_schema = T.StructType(
+            spark_schema.fields + [T.StructField("__file", T.LongType(), False)]
+        )
     expected = _arrow_schema(names, nodes)
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        max(1, len(paths))
-    )
+    pdf = spark.createDataFrame(
+        list(enumerate(paths)), "idx long, path string"
+    ).repartition(max(1, len(paths)))
 
     def run(batches):
         for rb in batches:
-            for p in rb.column("path").to_pylist():
+            idxs = rb.column("idx").to_pylist()
+            for i, p in zip(idxs, rb.column("path").to_pylist()):
                 with open(p, "rb") as f:
                     got, blocks, _ = open_zebra_v2_stream(f, chunk_bytes)
                     # batches bind to the declared schema POSITIONALLY, so
@@ -525,7 +558,12 @@ def read_zebra_v2_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
                             f"{got.names} vs expected {expected.names} "
                             "(all files of one read must share the header)"
                         )
-                    yield from blocks
+                    for b in blocks:
+                        if with_ordinal:
+                            b = b.append_column(
+                                "__file", pa.array([i] * b.num_rows, pa.int64())
+                            )
+                        yield b
 
     return pdf.mapInArrow(run, schema=spark_schema)
 
@@ -621,11 +659,15 @@ def fast_merge_v2(spark, input_sets: list, chunk_bytes: int = 1 << 20):
     from pyspark.sql import functions as F
 
     input_sets = [ps if isinstance(ps, list) else [ps] for ps in input_sets]
-    dfs = [read_zebra_v2_files(spark, ps, chunk_bytes) for ps in input_sets]
+    dfs = [
+        read_zebra_v2_files(spark, ps, chunk_bytes, with_ordinal=True)
+        for ps in input_sets
+    ]
     names, nodes = read_v2_header(input_sets[0][0])
     schema = spark_schema_v2(names, nodes)
+    want = [f.name for f in schema.fields] + ["__file"]
     for d in dfs[1:]:
-        if [f.name for f in d.schema.fields] != [f.name for f in schema.fields]:
+        if [f.name for f in d.schema.fields] != want:
             raise ValueError("fast-merge: inputs disagree on attribute names")
     return merge_map_form(dfs, schema)
 
@@ -638,13 +680,20 @@ def merge_map_form(dfs: list, schema: T.StructType):
     from pyspark.sql import functions as F
 
     attrs = [f.name for f in schema.fields if f.name not in ("entity_hash", "entity_id")]
-    # __rank = input index; __seq = deterministic within-input row order
-    # (one file per partition, rows in block order) so exact (time,
-    # factset) ties across BLOCKS of one input keep first-seen order too,
-    # matching the C kernel's stable merge
+    # Tie order within one input = (__file, __seq): __file is the explicit
+    # path ordinal from read_zebra_v2_files(with_ordinal=True) — partition
+    # ids after the round-robin repartition do NOT follow path order, so
+    # monotonically_increasing_id alone (partition-id high bits) would
+    # flatten identical-key facts in arbitrary FILE order.  __seq then
+    # breaks ties within a file (each file streams serially inside one
+    # partition, so per-file row order is block order), matching the C
+    # kernel's stable first-seen merge.  Inputs without the ordinal
+    # (single-file or pre-r5 callers) fall back to __seq alone.
     u = dfs[0].withColumn("__rank", F.lit(0))
     for i, d in enumerate(dfs[1:], start=1):
         u = u.unionByName(d.withColumn("__rank", F.lit(i)))
+    if "__file" not in u.columns:
+        u = u.withColumn("__file", F.lit(0))
     u = u.withColumn("__seq", F.monotonically_increasing_id()).cache()
 
     def by_fields(*names):
@@ -666,12 +715,14 @@ def merge_map_form(dfs: list, schema: T.StructType):
             "entity_hash",
             "entity_id",
             "__rank",
+            "__file",
             "__seq",
             F.explode(a).alias("e"),
         ).select(
             "entity_hash",
             "entity_id",
             "__rank",
+            "__file",
             "__seq",
             F.col("e.time").alias("t"),
             F.col("e.factset_id").alias("f"),
@@ -684,9 +735,12 @@ def merge_map_form(dfs: list, schema: T.StructType):
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.struct(F.col("__rank"), F.col("__seq"), F.col("vs"))
+                            F.struct(
+                                F.col("__rank"), F.col("__file"), F.col("__seq"),
+                                F.col("vs"),
+                            )
                         ),
-                        by_fields("__rank", "__seq"),
+                        by_fields("__rank", "__file", "__seq"),
                     ),
                     lambda x: x["vs"],
                 )
