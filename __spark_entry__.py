@@ -874,6 +874,171 @@ def _q_zfile_binary_table(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _synth_v2_file(path: str, rows, attr_id: int, block_entities: int = 512):
+    """Hand-assemble a real ``||ZEBRA||00002||`` factset file from the wire
+    spec (Serial/Binary/Block.hs:133-423) carrying ONE attribute's facts —
+    the deterministic fixture for the v2_upgrade_roundtrip driver query.
+    ``rows`` = [(hash, entity_id, [(time, fsid, tombstone, value), ...])]
+    sorted by hash; attr 0 = int facts, attr 1 = binary facts.  The header
+    declares BOTH attributes (files of one read must share it)."""
+    import json as _json
+
+    import numpy as np
+
+    from zebra_spark.codec.bytecodec import pack_sized_byte_array, pack_strings
+    from zebra_spark.codec.intcodec import pack_int_array
+    from zebra_spark.operators.zfile_v2 import MAGIC_V2
+
+    def ints(vals):
+        return pack_int_array(np.array(vals, dtype=np.int64))
+
+    def strings(items):
+        lens = np.array([len(b) for b in items], dtype=np.int64)
+        return pack_strings(lens, b"".join(items))
+
+    def u32(n):
+        return np.uint32(n).astype("<u4").tobytes()
+
+    schemas = [
+        _json.dumps({"array": {"element": {"int": {}}}}).encode(),
+        _json.dumps(
+            {"array": {"element": {"nested": {"table": {"binary": {}}}}}}
+        ).encode(),
+    ]
+    out = [MAGIC_V2 + u32(2) + strings([b"bal", b"tag"]) + strings(schemas)]
+    for i in range(0, len(rows), block_entities):
+        chunk = rows[i : i + block_entities]
+        facts = [f for _, _, fs in chunk for f in fs]
+        blk = u32(len(chunk))
+        blk += ints([h for h, _, _ in chunk])
+        blk += strings([e.encode() for _, e, _ in chunk])
+        blk += ints([1] * len(chunk))  # one attr entry per entity
+        blk += u32(len(chunk))
+        blk += ints([attr_id] * len(chunk))
+        blk += ints([len(fs) for _, _, fs in chunk])
+        blk += u32(len(facts))
+        blk += ints([t for t, _, _, _ in facts])
+        blk += ints([f for _, f, _, _ in facts])
+        blk += ints([tb for _, _, tb, _ in facts])
+        blk += u32(1) + ints([attr_id]) + ints([len(facts)])
+        if attr_id == 0:  # int table
+            blk += ints([v for _, _, _, v in facts])
+        else:  # nested binary table: lengths | u32 total | sized bytes
+            bs = [v.encode() for _, _, _, v in facts]
+            concat = b"".join(bs)
+            blk += ints([len(b) for b in bs])
+            blk += u32(len(concat)) + pack_sized_byte_array(concat)
+        out.append(blk)
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def _q_v2_upgrade_roundtrip(spark, sf_dir):
+    """Legacy-format modernization chain, driver-verified end to end:
+    deterministic facts derived from `customer` are written as REAL
+    ``||ZEBRA||00002||`` bytes (two files — the int attribute's facts in
+    one, the binary attribute's in the other, so every entity SPANS files
+    and exercises the merge-collapse path), streamed back through the V2
+    parser (zfile_v2.py, Factset/Table.hs:85-248 map form), upgraded to V3
+    map-table files (`zs upgrade` semantics), read back from the V3
+    container, and flattened to scalar fact rows.
+
+    Fact layout (all oracle-expressible from customer):
+      bal (int):  (time=k, fsid=1, live, value=3k+1) per customer k;
+                  plus (time=k+1, fsid=2, TOMBSTONE, 0) when k%5==0
+      tag (bin):  (time=k, fsid=1, live, value=c_mktsegment)
+    """
+    import shutil
+    import tempfile
+
+    from zebra_spark.operators.zfile import read_zebra_files, write_zebra_files
+    from zebra_spark.operators.zfile_v2 import (
+        merge_map_form,
+        read_v2_header,
+        read_zebra_v2_files,
+        spark_schema_v2,
+    )
+    from zebra_spark.operators.zschema import MAP_TABLE_META
+
+    cust = (
+        _load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    bal_rows, tag_rows = [], []
+    for r in cust:
+        k = int(r["c_custkey"])
+        ent = (k, f"c{k}")
+        bal = [(k, 1, 0, 3 * k + 1)]
+        if k % 5 == 0:
+            bal.append((k + 1, 2, 1, 0))
+        bal_rows.append(ent + ([tuple(f) for f in bal],))
+        tag_rows.append(ent + ([(k, 1, 0, r["c_mktsegment"])],))
+    out = tempfile.mkdtemp(prefix="zs_v2up_")
+    try:
+        p_bal, p_tag = f"{out}/bal.zebra", f"{out}/tag.zebra"
+        _synth_v2_file(p_bal, bal_rows, attr_id=0)
+        _synth_v2_file(p_tag, tag_rows, attr_id=1)
+        paths = [p_bal, p_tag]
+        # `zs upgrade` semantics inline: every entity appears in both
+        # files, so the map-form read has duplicate keys -> merge collapse
+        df = read_zebra_v2_files(spark, paths, with_ordinal=True)
+        names, nodes = read_v2_header(paths[0])
+        merged = merge_map_form([df], spark_schema_v2(names, nodes))
+        v3 = merged.select(
+            F.struct("entity_hash", "entity_id").alias(
+                "key", metadata={MAP_TABLE_META: True}
+            ),
+            F.struct("bal", "tag").alias("value"),
+        ).sortWithinPartitions("key")
+        v3dir = f"{out}/v3"
+        manifest = write_zebra_files(v3, v3dir, rows_per_block=512).collect()
+        back = read_zebra_files(spark, [r["path"] for r in manifest])
+
+        def flat(attr, val_int, val_str):
+            return (
+                back.select(
+                    F.col("key.entity_hash").alias("entity_hash"),
+                    F.col("key.entity_id").alias("entity_id"),
+                    F.explode(f"value.{attr}").alias("e"),
+                )
+                .select(
+                    "entity_hash",
+                    "entity_id",
+                    F.lit(attr).alias("attribute"),
+                    F.col("e.time").alias("time"),
+                    F.col("e.factset_id").alias("factset_id"),
+                    F.explode("e.values").alias("v"),
+                )
+                .select(
+                    "entity_hash",
+                    "entity_id",
+                    "attribute",
+                    "time",
+                    "factset_id",
+                    (F.col("v.tag") == 0).cast("long").alias("tombstone"),
+                    val_int(F.col("v")).alias("value_int"),
+                    val_str(F.col("v")).alias("value_str"),
+                )
+            )
+
+        facts = flat(
+            "bal",
+            lambda v: v["v_some"].cast("long"),
+            lambda v: F.lit(None).cast("string"),
+        ).unionByName(
+            flat(
+                "tag",
+                lambda v: F.lit(None).cast("long"),
+                lambda v: v["v_some"].cast("string"),
+            )
+        )
+        return facts.localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_codec_metrics(spark, sf_dir):
     """Per-column lineage / codec-choice metrics (north rule): one row per
     (block, column) with the selector's decision and stats."""
@@ -1136,7 +1301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "consistency_check": _q_consistency_check,
             "cat_blocks": _q_cat_blocks,
             "checkpoint_resume": _q_checkpoint_resume,
-            "salted_encode_roundtrip": _q_salted_encode_roundtrip,
+            # r5: salted_encode_roundtrip retired (its plan is a strict
+            # subset of grouped_encode_roundtrip + the checkpoint path;
+            # pytest still covers the salt column) to free the slot for
+            # the V2 chain, the r4 verdict's only coverage gap
+            "v2_upgrade_roundtrip": _q_v2_upgrade_roundtrip,
             "grouped_encode_roundtrip": _q_grouped_encode_roundtrip,
             "projection_pushdown": _q_projection_pushdown,
             "ztxt_roundtrip": _q_ztxt_roundtrip,
@@ -1292,8 +1461,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rechunk_blocks": "SELECT * FROM lineitem",
         "checkpoint_resume": "SELECT * FROM orders",
-        "salted_encode_roundtrip": (
-            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        "v2_upgrade_roundtrip": (
+            # regenerate the deterministic fact layout _q_v2_upgrade_roundtrip
+            # derives from customer (bal: int fact per k + tombstone at k%5==0;
+            # tag: one binary fact = c_mktsegment)
+            "WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer) "
+            "SELECT k AS entity_hash, 'c' || CAST(k AS VARCHAR) AS entity_id, "
+            "'bal' AS attribute, k AS time, CAST(1 AS BIGINT) AS factset_id, "
+            "CAST(0 AS BIGINT) AS tombstone, CAST(3*k+1 AS BIGINT) AS value_int, "
+            "CAST(NULL AS VARCHAR) AS value_str FROM base "
+            "UNION ALL "
+            "SELECT k, 'c' || CAST(k AS VARCHAR), 'bal', k+1, 2, 1, 0, NULL "
+            "FROM base WHERE k % 5 = 0 "
+            "UNION ALL "
+            "SELECT k, 'c' || CAST(k AS VARCHAR), 'tag', k, 1, 0, NULL, seg "
+            "FROM base"
         ),
         "projection_pushdown": "SELECT doc_id, lang FROM documents",
         "ztxt_roundtrip": (

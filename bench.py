@@ -17,7 +17,10 @@ Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), ZS_BENCH_ROWS (default 1_000_000),
 ZS_BENCH_ITERS (default 3, palindrome iterations), ZS_BENCH_LO /
 ZS_BENCH_HI (parallelism pair, default 1 and 4 — N vs 4N inside the
-host's sustained-core grant), ZS_BENCH_SKIP_SCALING=1 to skip scaling.
+host's sustained-core grant), ZS_BENCH_SKIP_SCALING=1 to skip scaling,
+ZS_BENCH_MAX_ATTEMPTS / ZS_BENCH_RETRY_SLEEP / ZS_BENCH_MIN_DECODE_RATE
+(throttle-validity retry: each lane re-runs up to MAX_ATTEMPTS spaced
+retries when its validity signal fails, then the flags stand).
 """
 
 from __future__ import annotations
@@ -102,12 +105,37 @@ def encode_once(spark, path=None):
     return time.perf_counter() - t0, row
 
 
-def scaling_runs():
-    from zebra_spark.session import get_spark
+# bounded retry-until-valid (r4 verdict #1): the host sometimes grants
+# <1/3 core for a whole bench window, and a throttled artifact undersells
+# the engine 7-11x.  Each lane re-runs up to MAX_ATTEMPTS spaced retries
+# when its own validity signal fails; attempts are recorded so retries
+# stay auditable.  After the last attempt the flags stand — the artifact
+# documents the window honestly rather than fabricating a number.
+MAX_ATTEMPTS = int(os.environ.get("ZS_BENCH_MAX_ATTEMPTS", "3"))
+RETRY_SLEEP = float(os.environ.get("ZS_BENCH_RETRY_SLEEP", "60"))
+# quiet-window decode is 40-80 M tok/s (BENCH/BASELINE.md 9.4); below a
+# third of the conservative end the lane is throttle-contaminated
+MIN_DECODE_RATE = float(os.environ.get("ZS_BENCH_MIN_DECODE_RATE", "13e6"))
 
-    # decode leg FIRST: a single measurement is fragile, so it gets the
-    # freshest host budget instead of running after ~10 min of encodes
-    decode = decode_run(None)
+
+def _retry_lane(run, is_valid, better):
+    """Run `run()` up to MAX_ATTEMPTS times, stopping at the first valid
+    result; keeps the best invalid one otherwise.  Returns (result,
+    attempts_used)."""
+    best = None
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        res = run()
+        if best is None or better(res, best):
+            best = res
+        if is_valid(res):
+            return best, attempt
+        if attempt < MAX_ATTEMPTS:
+            time.sleep(RETRY_SLEEP)  # spaced: throttle windows shift on minutes
+    return best, MAX_ATTEMPTS
+
+
+def scaling_sweep():
+    from zebra_spark.session import get_spark
 
     n_tokens = None
     best = {LO: None, HI: None}
@@ -201,9 +229,36 @@ def scaling_runs():
         "scaling_throttled_run": throttled_run,
         "scaling_pairs_throttle_artifacts": n_throttle_artifacts,
         "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
-        "size_policy": size_policy_run(),
-        "decode": decode,
     }
+
+
+def encode_lanes():
+    """decode lane FIRST (single fragile measurement gets the freshest
+    host budget), then the scaling sweep, then the size-policy subprocess;
+    decode and scaling each retry on their own validity signal."""
+    decode, decode_attempts = _retry_lane(
+        lambda: decode_run(None),
+        is_valid=lambda d: d["tokens_per_sec"] >= MIN_DECODE_RATE,
+        better=lambda a, b: a["tokens_per_sec"] > b["tokens_per_sec"],
+    )
+    decode["attempts"] = decode_attempts
+    decode["throttled"] = decode["tokens_per_sec"] < MIN_DECODE_RATE
+
+    def sweep_better(a, b):
+        if a["scaling_valid_iterations"] != b["scaling_valid_iterations"]:
+            return a["scaling_valid_iterations"] > b["scaling_valid_iterations"]
+        # both invalid: prefer the less-throttled window (higher lo rate)
+        return max(a["scaling_lo_rates_mtoks"]) > max(b["scaling_lo_rates_mtoks"])
+
+    sweep, sweep_attempts = _retry_lane(
+        scaling_sweep,
+        is_valid=lambda s: s["scaling_valid_iterations"] > 0,
+        better=sweep_better,
+    )
+    sweep["scaling_attempts"] = sweep_attempts
+    sweep["size_policy"] = size_policy_run()
+    sweep["decode"] = decode
+    return sweep
 
 
 def size_policy_run():
@@ -296,22 +351,47 @@ def headline_queries():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
+    tables = per_table_compression(spark)
     spark.stop()
+    return out, tables
+
+
+def per_table_compression(spark):
+    """ours/zebra per driver table — a cheap per-round drift guard for the
+    compression margin (r4 verdict #6): a codec change that erodes the F1
+    0.99 bound or regresses a non-token table shows up here immediately.
+    Sizes are deterministic (unlike wall-clock), so one pass suffices."""
+    from zebra_spark.operators.encode import encode_df
+
+    out = {}
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        r = (
+            encode_df(df, rows_per_block=1 << 16)
+            .groupBy()
+            .agg(
+                F.sum("enc_bytes").alias("enc"),
+                F.sum("zebra_bytes").alias("zebra"),
+            )
+            .collect()[0]
+        )
+        out[t] = round(r["enc"] / r["zebra"], 4)
     return out
 
 
 def main():
     ensure_f1_input()
-    queries = headline_queries()
+    queries, tables = headline_queries()
     result = {
         "metric": "encode_throughput_and_headline_queries",
         "unit": "sec",
         "sf": SF_DIR,
         "queries": queries,
+        "per_table_compression_vs_zebra": tables,
         "value": round(sum(queries.values()), 3),
     }
     if os.environ.get("ZS_BENCH_SKIP_SCALING") != "1":
-        result["encode"] = scaling_runs()
+        result["encode"] = encode_lanes()
         result["value"] = round(
             result["value"]
             + result["encode"]["low"]["sec"]
