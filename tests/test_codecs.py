@@ -346,3 +346,78 @@ def test_delta_v0_legacy_wire_still_decodes():
     np.testing.assert_array_equal(out, vals)
     assert pos == len(legacy)
     assert skip_ints(IntCodec.DELTA_V0, legacy, len(vals), 0) == len(legacy)
+
+
+def test_alp_rd_roundtrip_profiles():
+    """ALP-RD (r5): full-mantissa floats split at a bit cut — left-parts
+    dictionary + fixed-width right pack (Afroozeh & Boncz VLDB'23, the
+    'real doubles' half).  Pure bit transform, so the roundtrip must be
+    exact for every float profile, including the sign-extended float32
+    patterns embeddings use and the trailing-zero (f32-representable f64)
+    shift path."""
+    rng = np.random.default_rng(11)
+    profiles = {
+        "f32_patterns": (
+            (rng.standard_normal(8192).astype(np.float32) * 0.3)
+            .view(np.int32).astype(np.int64),
+            {"float32_view": True},
+        ),
+        "f64_full_mantissa": (
+            (rng.standard_normal(8192) * 1e3).view(np.int64),
+            {"float_view": True},
+        ),
+        "f64_from_f32_tz": (
+            rng.standard_normal(8192).astype(np.float32).astype(np.float64)
+            .view(np.int64),
+            {"float_view": True},
+        ),
+    }
+    for name, (vals, kw) in profiles.items():
+        c, payload, meta = encode_ints(vals, **kw)
+        assert c == IntCodec.ALP_RD, (name, IntCodec.NAMES[c])
+        out, pos = decode_ints(c, payload, len(vals))
+        np.testing.assert_array_equal(out, vals, err_msg=name)
+        assert pos == len(payload)
+        from zebra_spark.codec.codecs import skip_ints
+
+        assert skip_ints(c, payload, len(vals)) == len(payload)
+        assert meta["bytes"] < meta["zebra_bytes"], name
+
+
+def test_alp_rd_wild_values_forced():
+    """NaN payloads, infinities and signed zeros ride ALP-RD unchanged
+    when it is forced via allow= (the transform never inspects float
+    semantics, only bits)."""
+    wild = np.array(
+        [np.nan, np.inf, -np.inf, -0.0, 0.0, 1.5, -1.5, 2.0**-1060] * 32,
+        dtype=np.float64,
+    ).view(np.int64)
+    c, payload, _ = encode_ints(
+        wild, allow={IntCodec.ZEBRA, IntCodec.ALP_RD}, float_view=True
+    )
+    out, _ = decode_ints(c, payload, len(wild))
+    np.testing.assert_array_equal(out, wild)
+
+
+def test_alp_rd_wire_layout():
+    """Wire: u8 r | u8 tz | u32 n_dict | BP64 right groups | dict
+    int_array | codes int_array — parse the scalars back and check the
+    section arithmetic skip_ints relies on."""
+    rng = np.random.default_rng(3)
+    # f32-representable doubles: tz must be >= 29 (trailing mantissa zeros)
+    vals = rng.standard_normal(4096).astype(np.float32).astype(np.float64)
+    v = vals.view(np.int64)
+    c, payload, _ = encode_ints(v, float_view=True)
+    assert c == IntCodec.ALP_RD
+    r, tz = payload[0], payload[1]
+    n_dict = int(np.frombuffer(payload[2:6], dtype="<u4")[0])
+    assert tz >= 29
+    assert 0 < r < 64 - tz
+    assert n_dict >= 1
+    n_groups = -(-len(v) // 64)
+    p = 6 + n_groups * 8 * r
+    # dict int_array then codes int_array, each self-sized
+    for _ in range(2):
+        size = int(np.frombuffer(payload[p : p + 4], dtype="<u4")[0])
+        p += 12 + size
+    assert p == len(payload)

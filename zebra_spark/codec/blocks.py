@@ -236,8 +236,13 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
 
     if _int_kind(t) is not None:
         vals = _storage_int64(arr)
-        # float64 columns get the ALP decimal candidate (codecs.py)
-        c, p, m = encode_ints(vals, float_view=pa.types.is_float64(t))
+        # float64 columns get the ALP decimal + ALP-RD candidates; float32
+        # bit patterns get ALP-RD only (pure bit transform — codecs.py)
+        c, p, m = encode_ints(
+            vals,
+            float_view=pa.types.is_float64(t),
+            float32_view=pa.types.is_float32(t),
+        )
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path, m)

@@ -59,6 +59,7 @@ class IntCodec:
     # r4 wire adds an inner-codec byte; a NEW id keeps blocks persisted by
     # older builds decodable (resumable run_encode_job outputs)
     DELTA = 7  # i64 first | u8 inner_codec | inner payload (n-1 deltas)
+    ALP_RD = 8  # full-mantissa floats: left-bits dict + right-bits pack
 
     NAMES = {
         0: "zebra",
@@ -69,6 +70,7 @@ class IntCodec:
         5: "pfor",
         6: "alp",
         7: "delta",
+        8: "alp-rd",
     }
 
 
@@ -102,7 +104,10 @@ def _rle_split(values: np.ndarray):
 
 
 def encode_ints(
-    values: np.ndarray, allow: set[int] | None = None, float_view: bool = False
+    values: np.ndarray,
+    allow: set[int] | None = None,
+    float_view: bool = False,
+    float32_view: bool = False,
 ):
     """Select + encode. Returns ``(codec_id, payload_bytes, meta_dict)``.
 
@@ -111,7 +116,9 @@ def encode_ints(
 
     ``float_view=True`` marks ``values`` as the bit-cast of a float64
     column, enabling the ALP decimal candidate (pointless and skipped for
-    genuine integers).
+    genuine integers).  ``float32_view=True`` marks them as sign-extended
+    float32 bit patterns — ALP decimal can't apply (the container is not
+    an f64 image) but ALP-RD can (it is a pure bit transform).
 
     Costing reuses a single :class:`PackPlan` per candidate (one pass each)
     and the winner's plan assembles the payload without recomputation.
@@ -194,6 +201,11 @@ def encode_ints(
             if alp is not None:
                 size, thunk = alp
                 candidates[IntCodec.ALP] = (size, thunk)
+
+        if (float_view or float32_view) and allowed(IntCodec.ALP_RD) and n >= 64:
+            rd = _alp_rd_build(values, min(s for s, _ in candidates.values()))
+            if rd is not None:
+                candidates[IntCodec.ALP_RD] = rd
 
         if allowed(IntCodec.DELTA) and n >= 2:
             # first value kept out of the delta frame so a large base does
@@ -342,6 +354,110 @@ def _alp_build(values_i64: np.ndarray):
                     lambda e=e, plan=plan: bytes([e]) + pack_from_plan(plan)
                 )
     return None
+
+
+def _alp_rd_build(values_i64: np.ndarray, best_so_far: int):
+    """ALP-RD candidate for full-mantissa floats — the "real doubles"
+    second half of ALP (Afroozeh & Boncz, VLDB 2023): cut each value's
+    bits at position ``r`` — the LEFT part (sign + exponent + top mantissa
+    bits) repeats across a column and dictionary-codes to a handful of
+    uniques, while the RIGHT part (low mantissa, near-random) packs
+    verbatim at one fixed width.  Returns ``(exact_size, thunk)`` or None.
+
+    Two deliberate departures from the paper's SIMD-bound shape, both
+    size-or-speed wins under numpy execution: the dictionary holds ALL
+    unique left parts (a gather is cheap at any dict size, so no 3-bit cap
+    and no exception list), and the codes ride the int_array codec (their
+    per-chunk widths usually land at ceil(log2(card)) anyway).  A shared
+    trailing-zero shift ``tz`` also rides the wire: float64 columns whose
+    values happen to be float32-representable carry 29 always-zero low
+    mantissa bits, and shifting them out first makes the right part dense.
+    The transform is pure bit arithmetic, so the roundtrip is exact by
+    construction for ANY input pattern (floats, NaN payloads, infs).
+
+    Wire: ``u8 r | u8 tz | u32 n_dict | right BP64 groups (n_groups*8*r B)
+    | dict int_array | codes int_array``.
+
+    Cut choice: one sort of a 4k sample gives the whole cardinality curve
+    — card(r) = 1 + |{i : bit_length(sorted-neighbour xor) > r}| — from
+    which estimated costs rank every cut; the best two are then costed
+    EXACTLY (full unique + plans), keeping the candidate's reported size
+    actual like every other selector entry.
+    """
+    n = len(values_i64)
+    u = values_i64.view(np.uint64)
+    orv = np.bitwise_or.reduce(u)
+    if orv == 0:
+        return None  # all-zero column: CONSTANT wins at 8 bytes
+    tz = int(orv & (~orv + np.uint64(1))).bit_length() - 1
+    us = u >> np.uint64(tz)
+    top = 64 - tz  # significant width after the shared shift
+    n_groups = -(-n // 64)
+
+    sample = np.sort(us[:: max(1, n // 4096)][:4096])
+    diff = sample[1:] ^ sample[:-1]
+    bl = bit_length64(diff)
+    hist = np.bincount(bl, minlength=66)
+    gt = np.cumsum(hist[::-1])[::-1]  # gt[b] = count(bl >= b)
+    scale = max(1.0, n / len(sample)) ** 0.5  # sample card underestimates
+    rs = np.arange(top, dtype=np.int64)
+    card = 1 + np.minimum(gt[rs + 1] * scale, n).astype(np.int64)
+    code_bits = np.ceil(np.log2(np.maximum(card, 2))).astype(np.int64)
+    est = (
+        n_groups * 8 * rs  # right block
+        + card * np.maximum(top - rs, 8) // 8  # dict entries
+        + n * code_bits // 8  # codes
+        + 30
+    )
+    # the card curve is only trustworthy where the sample dict is SMALL —
+    # a near-saturated sample (card ~ sample size) extrapolates to
+    # anywhere between card and n, and underestimating it once picked a
+    # 10 B/value cut over a 7.1 B/value one.  Cuts whose sample dict
+    # exceeds sample/8 are out; a left part that big can't win anyway
+    # (codes alone would cost >= 9 bits/value on top of the right block).
+    feasible = gt[rs + 1] <= max(8, len(sample) // 8)
+    if not feasible.any():
+        return None
+    est[~feasible] = np.iinfo(np.int64).max
+    if est.min() >= best_so_far:
+        return None  # cannot plausibly win — skip the exact passes
+    best = None
+    for r in (int(x) for x in np.argsort(est, kind="stable")[:2]):
+        shift = np.uint64(r)
+        uniq, inverse = np.unique(us >> shift, return_inverse=True)
+        pd_ = plan_int_array(uniq.view(_I64))
+        pc_ = plan_int_array(inverse.astype(_I64))
+        size = 6 + n_groups * 8 * r + pd_.size + pc_.size
+        if best is None or size < best[0]:
+            best = (size, r, pd_, pc_)
+    size, r, pd_, pc_ = best
+    if size >= best_so_far:
+        return None
+
+    def thunk(r=r, pd_=pd_, pc_=pc_):
+        if r:
+            right = us & np.uint64((1 << r) - 1)
+            pad = n_groups * 64 - n
+            if pad:
+                right = np.concatenate([right, np.zeros(pad, dtype=np.uint64)])
+            parts = (
+                _bp64_pack_group(right.reshape(n_groups, 64), r)
+                .astype("<u8", copy=False)
+                .tobytes()
+            )
+        else:
+            parts = b""
+        return b"".join(
+            [
+                bytes([r, tz]),
+                np.uint32(pd_.n).astype("<u4").tobytes(),
+                parts,
+                pack_from_plan(pd_),
+                pack_from_plan(pc_),
+            ]
+        )
+
+    return size, thunk
 
 
 def _pfor_build(values: np.ndarray, zplan):
@@ -523,6 +639,10 @@ def skip_ints(codec: int, buf, n: int, pos: int = 0) -> int:
         return p
     if codec == IntCodec.ALP:
         return int_array_end(pos + 1)
+    if codec == IntCodec.ALP_RD:
+        r = mv[pos]
+        p = pos + 6 + (-(-n // 64)) * 8 * r
+        return int_array_end(int_array_end(p))
     raise ValueError(f"unknown int codec {codec}")
 
 
@@ -629,6 +749,28 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
         # same IEEE-exact division the encoder verified bit-for-bit
         floats = ints.astype(np.float64) / np.float64(10.0**e)
         return floats.view(_I64).copy(), p
+    if codec == IntCodec.ALP_RD:
+        r, tz = int(mv[pos]), int(mv[pos + 1])
+        n_dict = int(np.frombuffer(mv[pos + 2 : pos + 6], dtype="<u4")[0])
+        p = pos + 6
+        n_groups = -(-n // 64)
+        if r:
+            nbytes = n_groups * 8 * r
+            words = np.frombuffer(mv[p : p + nbytes], dtype="<u8").reshape(
+                n_groups, r
+            )
+            right = _bp64_unpack_group(words.astype(np.uint64), r).reshape(-1)[:n]
+            p += nbytes
+        else:
+            right = np.zeros(n, dtype=np.uint64)
+        dict_, p = unpack_int_array(mv, n_dict, p)
+        codes, p = unpack_int_array(mv, n, p)
+        left = dict_.view(np.uint64)[codes]
+        shift = r + tz
+        out = right << np.uint64(tz) if tz else right
+        if shift < 64:  # shift==64 <=> zero-width left (dict is all-zero)
+            out = out | (left << np.uint64(shift))
+        return out.view(_I64).astype(_I64, copy=False), p
     raise ValueError(f"unknown int codec {codec}")
 
 
