@@ -107,3 +107,66 @@ def test_media_blocks_roundtrip(spark):
     media = _media_df(spark).select("media_id", "kind", "payload")
     dec = decode_df(encode_df(media, rows_per_block=8), schema=media.schema)
     assert media.exceptAll(dec).count() == 0 and dec.exceptAll(media).count() == 0
+
+
+def test_ppm_golden_decode():
+    """Hand-built P6 payload (public Netpbm spec): header with a comment
+    line, 2x2 RGB — decode_image returns the exact pixel grid, and the
+    ppm_image encoder round-trips it."""
+    from zebra_spark.functions.multimodal import ppm_image
+
+    pixels = bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  7, 8, 9]
+    )
+    payload = b"P6\n# a comment\n2 2\n255\n" + pixels
+    img = decode_image(payload)
+    assert img.shape == (2, 2, 3)
+    np.testing.assert_array_equal(
+        img, np.frombuffer(pixels, np.uint8).reshape(2, 2, 3)
+    )
+    # encoder -> decoder fixed point
+    np.testing.assert_array_equal(decode_image(ppm_image(img)), img)
+    # malformed: 16-bit maxval is unsupported, not silently misread
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n65535\n" + pixels * 2)
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n255\n" + pixels[:6])  # short body
+
+
+def test_resize_images_ppm(spark):
+    """PPM payloads resize through the SAME grouped-gather path as the
+    fake format and come back as valid P6 bytes; mixed fake+PPM batches
+    keep both."""
+    from zebra_spark.functions.multimodal import ppm_image
+
+    rng = np.random.default_rng(42)
+    p_a = ppm_image(rng.integers(0, 256, (16, 12, 3), dtype=np.uint8))
+    p_b = ppm_image(rng.integers(0, 256, (16, 12, 3), dtype=np.uint8))
+    p_c = ppm_image(rng.integers(0, 256, (9, 33, 3), dtype=np.uint8))
+    rows = [
+        ("p0", "image", bytearray(p_a), None),
+        ("p1", "image", bytearray(p_b), None),
+        ("p2", "image", bytearray(p_c), None),
+        ("f0", "image", bytearray(fake_image(7, 16, 16)), None),
+        ("short", "image", bytearray(b"P6\n4 4\n255\nxy"), None),  # short body
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,duration_ms:int>",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    for mid, payload in [("p0", p_a), ("p1", p_b), ("p2", p_c)]:
+        src = decode_image(payload)
+        ys = (np.arange(8) * src.shape[0] // 8).astype(int)
+        xs = (np.arange(8) * src.shape[1] // 8).astype(int)
+        got_bytes = bytes(out[mid]["payload"])
+        assert got_bytes.startswith(b"P6\n")  # real-format output
+        np.testing.assert_array_equal(
+            decode_image(got_bytes), src[ys][:, xs], err_msg=mid
+        )
+        assert out[mid]["kind"] == "image"
+        assert out[mid]["meta"]["channels"] == 3
+    assert out["f0"]["kind"] == "image"
+    assert out["short"]["kind"] == "undecodable"

@@ -2,11 +2,13 @@
 
 Image/audio/video payloads are ``binary`` columns with a metadata struct;
 the Spark-side plumbing — schema, batching, partitioning, Arrow transfer,
-UDF signatures — is real and tested.  The *media decode* itself is stubbed
-(no image/audio libraries in this container): ``decode_image`` raises
-``NotImplementedError`` unless the payload carries the deterministic fake
-format produced by :func:`fake_image`, which encodes (height, width,
-channels) + a seed so feature extraction / resizing are exactly testable.
+UDF signatures — is real and tested.  Two containers decode for REAL:
+binary PPM / P6 (a public uncompressed format, parsed with numpy alone —
+see :func:`_parse_ppm_header` / :func:`ppm_image`) and the deterministic
+fake produced by :func:`fake_image` (encodes (height, width, channels) +
+a seed so feature extraction / resizing are exactly testable).  Compressed
+formats (JPEG/PNG/...) need an image library not present in this
+container: ``decode_image`` raises ``NotImplementedError`` for them.
 
 At scale the shape matters more than the decode: payloads stream through
 ``mapInArrow`` in bounded batches (a 100 MB video must not be row-wise
@@ -45,17 +47,77 @@ def fake_image(media_id: int, h: int, w: int, c: int = 3) -> bytes:
     return head + rng.integers(0, 256, size=min(h * w * c, 4096), dtype=np.uint8).tobytes()
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Decode a payload to an (h, w, c) array.
+def _parse_ppm_header(head: bytes):
+    """Parse a binary PPM (P6) header: ``(h, w, body_offset)`` or None.
 
-    Real formats (JPEG/PNG/...) need an image library not present in this
-    container — STUB: raises NotImplementedError for them.  The fake
-    format decodes deterministically.
+    Netpbm P6 grammar (public spec): ``P6`` then three whitespace-separated
+    decimal fields (width, height, maxval), ``#`` comments allowed between
+    fields, exactly ONE whitespace byte after maxval, then raw RGB bytes.
+    Only maxval 255 (1 byte/sample) is supported — 2-byte-sample images
+    return None and fall to the undecodable path.
     """
+    if not head.startswith(b"P6"):
+        return None
+    i, vals = 2, []
+    while len(vals) < 3 and i < len(head):
+        while i < len(head):  # whitespace + comment runs between fields
+            ch = head[i : i + 1]
+            if ch == b"#":
+                j = head.find(b"\n", i)
+                if j < 0:
+                    return None
+                i = j + 1
+            elif ch.isspace():
+                i += 1
+            else:
+                break
+        j = i
+        while j < len(head) and head[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        vals.append(int(head[i:j]))
+        i = j
+    if len(vals) < 3 or i >= len(head) or not head[i : i + 1].isspace():
+        return None
+    w, h, maxval = vals
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    return h, w, i + 1
+
+
+def ppm_image(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) bytes."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM P6 carries exactly 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a payload to an (h, w, c) uint8 array.
+
+    Two containers decode for real: binary PPM / P6 (a public uncompressed
+    format, parsed with numpy alone) and the deterministic ZSIM fake.
+    Compressed formats (JPEG/PNG/...) need an image library not present in
+    this container — STUB: raises NotImplementedError for them.
+    """
+    if payload[:2] == b"P6":
+        parsed = _parse_ppm_header(payload[:256])
+        if parsed is None:
+            raise ValueError("malformed PPM P6 header")
+        h, w, off = parsed
+        body = np.frombuffer(payload, dtype=np.uint8, offset=off)
+        if len(body) < h * w * 3:
+            raise ValueError("PPM P6 payload shorter than width*height*3")
+        return body[: h * w * 3].reshape(h, w, 3)
     if payload[:4] != FAKE_MAGIC:
         raise NotImplementedError(
-            "real image decoding requires an image library not available "
-            "in this environment; use the ZSIM fake format in tests"
+            "compressed image decoding requires an image library not "
+            "available in this environment; PPM (P6) and the ZSIM fake "
+            "format decode for real"
         )
     h, w, c, seed = (int(x) for x in np.frombuffer(payload[4:20], dtype="<i4"))
     body = np.frombuffer(payload[20:], dtype=np.uint8)
@@ -160,7 +222,7 @@ def _binary_view(arr: pa.Array):
 
 
 def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
-    """Nearest-neighbour resize of decodable images (fake format).
+    """Nearest-neighbour resize of decodable images (PPM/P6 + fake format).
 
     Vectorized over the whole Arrow batch — no per-row ``.as_py()``:
     headers parse as one fancy-index gather off the flat payload buffer,
@@ -180,7 +242,7 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
             starts, lengths, data, is_null = _binary_view(rb.column("payload"))
 
             hwcs = np.zeros((n, 4), dtype=np.int64)  # h, w, c, seed
-            decodable = np.zeros(n, dtype=bool)
+            fake_dec = np.zeros(n, dtype=bool)
             head_rows = np.flatnonzero(~is_null & (lengths >= 20))
             if len(head_rows):
                 heads = data[starts[head_rows, None] + np.arange(20)]
@@ -193,37 +255,74 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                 )
                 ok &= (vals[:, :3] > 0).all(axis=1)
                 hwcs[head_rows] = vals
-                decodable[head_rows] = ok
+                fake_dec[head_rows] = ok
 
+            # PPM / P6 rows: only the tiny HEADER parses per row (bounded
+            # ~64 bytes of text grammar); the pixel gather below stays one
+            # grouped fancy-index over the flat buffer, same as the fake
+            # format
+            is_ppm = np.zeros(n, dtype=bool)
+            body_off = np.full(n, 20, dtype=np.int64)
+            p6_rows = np.flatnonzero(~is_null & ~fake_dec & (lengths >= 11))
+            if len(p6_rows):
+                h0 = data[starts[p6_rows]] == ord("P")
+                h1 = data[starts[p6_rows] + 1] == ord("6")
+                p6_rows = p6_rows[h0 & h1]
+            for i in p6_rows:
+                head = data[starts[i] : starts[i] + min(int(lengths[i]), 64)]
+                parsed = _parse_ppm_header(head.tobytes())
+                if parsed is None:
+                    continue
+                h, w, off = parsed
+                if lengths[i] - off >= h * w * 3:
+                    hwcs[i] = (h, w, 3, 0)
+                    body_off[i] = off
+                    is_ppm[i] = True
+
+            ppm_hdr = np.frombuffer(
+                b"P6\n%d %d\n255\n" % (out_w, out_h), dtype=np.uint8
+            )
+            decodable = fake_dec | is_ppm
+            out_hdr_len = np.where(is_ppm, len(ppm_hdr), 20)
             out_len = np.where(
-                decodable, 20 + out_h * out_w * hwcs[:, 2], 0
+                decodable, out_hdr_len + out_h * out_w * hwcs[:, 2], 0
             ).astype(np.int64)
             out_offs = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(out_len, out=out_offs[1:])
             out_flat = np.zeros(out_offs[-1], dtype=np.uint8)
 
-            dec_rows = np.flatnonzero(decodable)
-            if len(dec_rows):
-                # headers, all rows at once
-                hdr = np.empty((len(dec_rows), 20), dtype=np.uint8)
+            fake_rows = np.flatnonzero(fake_dec)
+            if len(fake_rows):
+                # ZSIM headers, all rows at once
+                hdr = np.empty((len(fake_rows), 20), dtype=np.uint8)
                 hdr[:, :4] = magic
                 hdr[:, 4:] = (
                     np.stack(
                         [
-                            np.full(len(dec_rows), out_h),
-                            np.full(len(dec_rows), out_w),
-                            hwcs[dec_rows, 2],
-                            np.zeros(len(dec_rows)),
+                            np.full(len(fake_rows), out_h),
+                            np.full(len(fake_rows), out_w),
+                            hwcs[fake_rows, 2],
+                            np.zeros(len(fake_rows)),
                         ],
                         axis=1,
                     )
                     .astype("<i4")
                     .view(np.uint8)
                 )
-                out_flat[out_offs[dec_rows, None] + np.arange(20)] = hdr
+                out_flat[out_offs[fake_rows, None] + np.arange(20)] = hdr
+            ppm_out = np.flatnonzero(is_ppm)
+            if len(ppm_out):
+                out_flat[
+                    out_offs[ppm_out, None] + np.arange(len(ppm_hdr))
+                ] = ppm_hdr
 
-            full = decodable & (lengths - 20 == hwcs[:, 0] * hwcs[:, 1] * hwcs[:, 2])
-            trunc_rows = np.flatnonzero(decodable & ~full)
+            full = is_ppm | (
+                fake_dec
+                & (lengths - 20 == hwcs[:, 0] * hwcs[:, 1] * hwcs[:, 2])
+            )
+            trunc_rows = np.flatnonzero(fake_dec & ~full)
+            body_starts = starts + body_off
+            out_body = out_offs[:-1] + out_hdr_len
             for shape in np.unique(hwcs[full][:, :3], axis=0) if full.any() else []:
                 h, w, c = (int(x) for x in shape)
                 grp = np.flatnonzero(full & (hwcs[:, :3] == shape).all(axis=1))
@@ -233,9 +332,9 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     (ys[:, None] * w + xs[None, :]).reshape(-1)[:, None] * c
                     + np.arange(c)
                 ).reshape(-1)
-                resized = data[(starts[grp] + 20)[:, None] + idx_map]
+                resized = data[body_starts[grp, None] + idx_map]
                 out_flat[
-                    (out_offs[grp] + 20)[:, None] + np.arange(len(idx_map))
+                    out_body[grp, None] + np.arange(len(idx_map))
                 ] = resized
             for i in trunc_rows:  # test-fixture path: rng per seed
                 img = decode_image(
