@@ -229,7 +229,7 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
     out.append(bytes([flags]))
     if has_nulls:
         valid = _validity_np(arr).astype(_I64)
-        c, p, m = encode_ints(valid)
+        c, p, m = encode_ints(valid, probe_key=path + "#valid")
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path + "#valid", m)
@@ -242,6 +242,7 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
             vals,
             float_view=pa.types.is_float64(t),
             float32_view=pa.types.is_float32(t),
+            probe_key=path,
         )
         out.append(bytes([c]))
         out.append(p)
@@ -263,7 +264,7 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
             lengths_arr = pc.fill_null(lengths_arr, 0)
         lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
         child = arr.flatten()  # concatenated values of valid rows only
-        c, p, m = encode_ints(lengths)
+        c, p, m = encode_ints(lengths, probe_key=path + "#len")
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path + "#len", m)
@@ -285,7 +286,7 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
             lengths_arr = pc.fill_null(lengths_arr, 0)
         lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
         child = as_list.flatten()
-        c, p, m = encode_ints(lengths)
+        c, p, m = encode_ints(lengths, probe_key=path + "#len")
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path + "#len", m)

@@ -108,6 +108,7 @@ def encode_ints(
     allow: set[int] | None = None,
     float_view: bool = False,
     float32_view: bool = False,
+    probe_key: str | None = None,
 ):
     """Select + encode. Returns ``(codec_id, payload_bytes, meta_dict)``.
 
@@ -120,6 +121,19 @@ def encode_ints(
     float32 bit patterns — ALP decimal can't apply (the container is not
     an f64 image) but ALP-RD can (it is a pure bit transform).
 
+    ``probe_key``: stable column identity enabling the selector HINT cache
+    (r5): the first block of a column runs the full candidate menu and
+    remembers the winner (plus its tuning — PFoR cut, ALP-RD cut); the
+    next ``_INT_HINT_USES`` blocks of the same column plan only zebra +
+    that winner, skipping the losing candidates' full-array passes
+    (~45% of selector time on token streams).  The <=zebra bound is
+    UNTOUCHED — zebra is always planned exactly and selection among the
+    offered candidates stays exact-size — only which candidates are
+    offered narrows between revalidations.  Drift is bounded two ways:
+    the menu re-runs in full every 64 blocks, and a hinted winner that
+    loses its own block (data shifted under it) invalidates the entry
+    immediately.
+
     Costing reuses a single :class:`PackPlan` per candidate (one pass each)
     and the winner's plan assembles the payload without recomputation.
     Expensive candidates are gated by cheap sampled stats.
@@ -127,8 +141,18 @@ def encode_ints(
     values = np.ascontiguousarray(values, dtype=_I64)
     n = len(values)
 
+    hint = None
+    if probe_key is not None:
+        h = _INT_HINT_CACHE.get(probe_key)
+        if h is not None and h["uses"] > 0:
+            h["uses"] -= 1
+            hint = h
+    menu = None if hint is None else {hint["winner"], IntCodec.CONSTANT}
+
     def allowed(c):
-        return allow is None or c in allow
+        if allow is not None and c not in allow:
+            return False
+        return menu is None or c in menu
 
     zplan = plan_int_array(values)
     zsize = zplan.size
@@ -171,10 +195,13 @@ def encode_ints(
         # best candidate so far instead of only zebra — skipping more
         # full-array planning passes (selector cost, not correctness: the
         # <=zebra bound is carried by the always-present zebra candidate)
+        pfor_b = None
         if allowed(IntCodec.PFOR) and n >= 256:
-            pfor = _pfor_build(values, zplan)
+            pfor = _pfor_build(
+                values, zplan, hint_b=(hint or {}).get("pfor_b")
+            )
             if pfor is not None:
-                size, thunk = pfor
+                size, thunk, pfor_b = pfor
                 candidates[IntCodec.PFOR] = (size, thunk)
 
         if allowed(IntCodec.DICT) and n >= 64:
@@ -202,10 +229,16 @@ def encode_ints(
                 size, thunk = alp
                 candidates[IntCodec.ALP] = (size, thunk)
 
+        alprd_r = None
         if (float_view or float32_view) and allowed(IntCodec.ALP_RD) and n >= 64:
-            rd = _alp_rd_build(values, min(s for s, _ in candidates.values()))
+            rd = _alp_rd_build(
+                values,
+                min(s for s, _ in candidates.values()),
+                hint_r=(hint or {}).get("alprd_r"),
+            )
             if rd is not None:
-                candidates[IntCodec.ALP_RD] = rd
+                size, thunk, alprd_r = rd
+                candidates[IntCodec.ALP_RD] = (size, thunk)
 
         if allowed(IntCodec.DELTA) and n >= 2:
             # first value kept out of the delta frame so a large base does
@@ -240,7 +273,7 @@ def encode_ints(
                 dthunk = lambda dplan=dplan: pack_from_plan(dplan)
                 dp = _pfor_build(deltas, dplan)
                 if dp is not None and dp[0] < dsize:
-                    inner, (dsize, dthunk) = IntCodec.PFOR, dp
+                    inner, (dsize, dthunk) = IntCodec.PFOR, dp[:2]
                 candidates[IntCodec.DELTA] = (
                     9 + dsize,
                     lambda inner=inner, dthunk=dthunk: (
@@ -267,6 +300,20 @@ def encode_ints(
         candidates,
         key=lambda c: (candidates[c][0] * handicap.get(c, 1.0), c),
     )
+    if probe_key is not None:
+        if hint is None:
+            # full menu ran: remember the winner + its tuning for the next
+            # _INT_HINT_USES blocks of this column
+            entry = {"winner": codec, "uses": _INT_HINT_USES}
+            if codec == IntCodec.PFOR:
+                entry["pfor_b"] = pfor_b
+            elif codec == IntCodec.ALP_RD:
+                entry["alprd_r"] = alprd_r
+            _INT_HINT_CACHE[probe_key] = entry
+        elif codec != hint["winner"]:
+            # the hinted winner lost its own block — data shifted, re-probe
+            # the full menu next time
+            _INT_HINT_CACHE.pop(probe_key, None)
     size, thunk = candidates[codec]
     meta = {
         "codec": IntCodec.NAMES[codec],
@@ -277,6 +324,16 @@ def encode_ints(
     }
     meta.update(_column_stats(values, zplan))
     return codec, thunk(), meta
+
+
+# selector HINT cache per column path (r5): {key: {"winner": codec,
+# "uses": n, "pfor_b"/"alprd_r": tuning}}.  Same staleness argument as the
+# FSST probe cache below: python workers are reused across jobs, so a key
+# can outlive one dataset; the 64-block full-menu revalidation bounds any
+# staleness, the zebra bound never depends on it (zebra is always planned),
+# and a hinted winner that loses its own block invalidates immediately.
+_INT_HINT_CACHE: dict[str, dict] = {}
+_INT_HINT_USES = 64
 
 
 _GATE_SLICES = 16
@@ -356,7 +413,9 @@ def _alp_build(values_i64: np.ndarray):
     return None
 
 
-def _alp_rd_build(values_i64: np.ndarray, best_so_far: int):
+def _alp_rd_build(
+    values_i64: np.ndarray, best_so_far: int, hint_r: int | None = None
+):
     """ALP-RD candidate for full-mantissa floats — the "real doubles"
     second half of ALP (Afroozeh & Boncz, VLDB 2023): cut each value's
     bits at position ``r`` — the LEFT part (sign + exponent + top mantissa
@@ -394,6 +453,22 @@ def _alp_rd_build(values_i64: np.ndarray, best_so_far: int):
     top = 64 - tz  # significant width after the shared shift
     n_groups = -(-n // 64)
 
+    def cost_exact(r: int):
+        shift = np.uint64(r)
+        uniq, inverse = np.unique(us >> shift, return_inverse=True)
+        pd_ = plan_int_array(uniq.view(_I64))
+        pc_ = plan_int_array(inverse.astype(_I64))
+        return 6 + n_groups * 8 * r + pd_.size + pc_.size, r, pd_, pc_
+
+    if hint_r is not None and 0 <= hint_r < top:
+        # hinted cut from the per-column cache: one exact costing, no
+        # sample ranking
+        best = cost_exact(int(hint_r))
+        size, r, pd_, pc_ = best
+        if size >= best_so_far:
+            return None
+        return _alp_rd_finish(us, n, n_groups, tz, size, r, pd_, pc_)
+
     sample = np.sort(us[:: max(1, n // 4096)][:4096])
     diff = sample[1:] ^ sample[:-1]
     bl = bit_length64(diff)
@@ -423,16 +498,17 @@ def _alp_rd_build(values_i64: np.ndarray, best_so_far: int):
         return None  # cannot plausibly win — skip the exact passes
     best = None
     for r in (int(x) for x in np.argsort(est, kind="stable")[:2]):
-        shift = np.uint64(r)
-        uniq, inverse = np.unique(us >> shift, return_inverse=True)
-        pd_ = plan_int_array(uniq.view(_I64))
-        pc_ = plan_int_array(inverse.astype(_I64))
-        size = 6 + n_groups * 8 * r + pd_.size + pc_.size
-        if best is None or size < best[0]:
-            best = (size, r, pd_, pc_)
+        res = cost_exact(r)
+        if best is None or res[0] < best[0]:
+            best = res
     size, r, pd_, pc_ = best
     if size >= best_so_far:
         return None
+    return _alp_rd_finish(us, n, n_groups, tz, size, r, pd_, pc_)
+
+
+def _alp_rd_finish(us, n, n_groups, tz, size, r, pd_, pc_):
+    """(size, thunk, r) for a fully-costed ALP-RD cut."""
 
     def thunk(r=r, pd_=pd_, pc_=pc_):
         if r:
@@ -457,11 +533,12 @@ def _alp_rd_build(values_i64: np.ndarray, best_so_far: int):
             ]
         )
 
-    return size, thunk
+    return size, thunk, r
 
 
-def _pfor_build(values: np.ndarray, zplan):
-    """Patched frame-of-reference candidate: ``(exact_size, thunk)`` or None.
+def _pfor_build(values: np.ndarray, zplan, hint_b: int | None = None):
+    """Patched frame-of-reference candidate: ``(exact_size, thunk, b)`` or
+    None.
 
     zebra's codec adapts bit width PER 64-VALUE CHUNK, so a zipf-ish token
     stream where nearly every chunk contains one rare large token pays the
@@ -470,45 +547,82 @@ def _pfor_build(values: np.ndarray, zplan):
     one small base width and stores the few oversized values as patches:
     ``u8 b | i64 vmin | u32 n_exc | base bits | [positions] | [values]``.
 
-    Base-width choice: the width histogram ranks candidate widths by an
-    estimated cost, then the best few are costed EXACTLY (patch arrays
-    planned) — the estimate alone left ~8% on zipf token streams because
-    packed-position/value sizes are hard to guess analytically.  The final
-    size is exact, so the selector's <=-zebra bound is untouched.
+    Base-width choice (r5): a SAMPLED width histogram ranks the cuts (the
+    full per-value bit_length64 + bincount cost ~11 ns/value — more than
+    the whole rest of planning), then the best few are costed EXACTLY —
+    one comparison pass each for the true exception set — so the reported
+    size stays actual and the selector's <=-zebra bound is untouched.
+    ``hint_b`` (from the per-column hint cache) skips the ranking and
+    exact-costs that single cut.
     """
     n = len(values)
     with np.errstate(over="ignore"):
         u = (values - _I64(zplan.vmin)).view(np.uint64)
-    widths = bit_length64(u)
-    hist = np.bincount(widths, minlength=65)
-    n_exc_at = n - np.cumsum(hist)  # n_exc_at[b] = count(width > b)
     n_groups = -(-n // 64)
-    bs = np.arange(65, dtype=np.int64)
-    # RANKING estimate: base bits exact; exceptions ~2 B/packed position +
-    # their own total width in bits (the histogram gives it exactly:
-    # suffix sum of hist[w]*w) — packed values can't beat their own widths
-    t = hist * np.arange(65, dtype=np.int64)
-    incl = np.cumsum(t[::-1])[::-1]  # incl[b] = sum_{w >= b} hist[w]*w
-    exc_bits_at = np.concatenate([incl[1:], [0]])  # sum_{w > b}
-    est = n_groups * 8 * bs + n_exc_at * 2 + exc_bits_at // 8
-    feasible = n_exc_at <= n // 8
-    if not feasible.any():
-        return None
-    est[~feasible] = np.iinfo(np.int64).max
-    best = None
-    for b in (int(x) for x in np.argsort(est, kind="stable")[:4]):
-        if not feasible[b]:
-            continue
-        n_exc = int(n_exc_at[b])
-        positions = np.flatnonzero(widths > b) if n_exc else np.empty(0, _I64)
+
+    def cost_exact(b: int):
+        """(size, b, n_exc, positions, ppos, pval) or None (infeasible)."""
+        # exact exception set: width > b  <=>  u > 2^b - 1, one compare
+        if b >= 64:
+            mask, n_exc = None, 0
+        else:
+            mask = u > np.uint64((1 << b) - 1)
+            n_exc = int(np.count_nonzero(mask))
+        if n_exc > n // 8:
+            return None
+        positions = np.flatnonzero(mask) if n_exc else np.empty(0, _I64)
         exc_vals = values[positions] if n_exc else None
         ppos = plan_int_array(positions.astype(_I64)) if n_exc else None
         pval = plan_int_array(exc_vals) if n_exc else None
         size = 1 + 8 + 4 + n_groups * 8 * b
         if n_exc:
             size += ppos.size + pval.size
-        if best is None or size < best[0]:
-            best = (size, b, n_exc, positions, ppos, pval)
+        return (size, b, n_exc, positions, ppos, pval)
+
+    best = None
+    if hint_b is not None:
+        best = cost_exact(int(hint_b))
+    else:
+        step = max(1, n // 8192)
+        su = u[::step][:8192]
+        scale = n / len(su)
+        widths_s = bit_length64(su)
+        hist = np.bincount(widths_s, minlength=65).astype(np.float64) * scale
+        n_exc_at = n - np.cumsum(hist)  # ~count(width > b), estimated
+        bs = np.arange(65, dtype=np.int64)
+        # RANKING estimate: base bits exact; exceptions ~2 B/packed
+        # position + their own total width in bits (suffix sum of
+        # hist[w]*w) — packed values can't beat their own widths
+        t = hist * np.arange(65, dtype=np.float64)
+        incl = np.cumsum(t[::-1])[::-1]  # incl[b] = sum_{w >= b} hist[w]*w
+        exc_bits_at = np.concatenate([incl[1:], [0.0]])  # sum_{w > b}
+        est = n_groups * 8.0 * bs + n_exc_at * 2 + exc_bits_at / 8
+        feasible = n_exc_at <= n / 8 + scale  # sampled: verified exactly
+        if not feasible.any():
+            return None
+        est[~feasible] = np.inf
+        costed = examined = 0
+        for b in (int(x) for x in np.argsort(est, kind="stable")):
+            # each examination pays a full compare pass — cap BOTH the
+            # number of fully-costed cuts and total examinations (a flat
+            # est curve around the optimum otherwise walks many near-tied
+            # cuts)
+            if (
+                costed == 3
+                or examined == 6
+                or est[b] == np.inf
+                or (best and est[b] >= best[0])
+            ):
+                break
+            examined += 1
+            res = cost_exact(b)
+            if res is None:
+                continue  # sample under-counted: truly infeasible cut
+            costed += 1
+            if best is None or res[0] < best[0]:
+                best = res
+    if best is None:
+        return None
     size, b, n_exc, positions, ppos, pval = best
     if size >= zplan.size:
         return None
@@ -538,7 +652,7 @@ def _pfor_build(values: np.ndarray, zplan):
             out.append(pack_from_plan(pval))
         return b"".join(out)
 
-    return size, thunk
+    return size, thunk, b
 
 
 def _column_stats(values: np.ndarray, zplan) -> dict:
@@ -590,6 +704,14 @@ def _dict_split(values: np.ndarray, zplan):
         counts = np.bincount(shifted, minlength=value_range + 1)
         nz = np.nonzero(counts)[0]
         if len(nz) > n // 2:
+            return None
+        # r5: re-apply the width gate with the EXACT cardinality before the
+        # expensive inverse gather — the sampled card underestimates heavy
+        # tails (zipf token sample said 12 index bits, true card needed 17),
+        # and the gather it green-lit cost more than the rest of planning
+        if len(zplan.nbits) and len(nz) > 8 and (
+            (len(nz) - 1).bit_length() + 1 >= float(zplan.nbits.mean())
+        ):
             return None
         lookup = np.empty(value_range + 1, dtype=_I64)
         lookup[nz] = np.arange(len(nz))

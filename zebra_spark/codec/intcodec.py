@@ -117,14 +117,31 @@ def bit_length64(v: np.ndarray) -> np.ndarray:
 
 @dataclass
 class PackPlan:
-    """Precomputed encode state: shared by size costing and byte assembly."""
+    """Precomputed encode state: shared by size costing and byte assembly.
+
+    The zig-zagged deltas are LAZY (r5): costing needs only the per-chunk
+    bit widths, which derive from per-chunk min/max of the frame-of-
+    reference deltas without materializing the zigzag transform — the
+    selector plans every candidate but packs only winners, and on hot
+    token columns (where PFoR usually wins) the zigzag pass was ~60% of
+    plan time spent on bytes never emitted.
+    """
 
     n: int
     offset: int
-    deltas: np.ndarray  # uint64 zig-zagged, len n
+    values: np.ndarray  # contiguous int64 source column
     nbits: np.ndarray  # int64, len n//64
     vmin: int
     vmax: int
+    _deltas: np.ndarray | None = None
+
+    @property
+    def deltas(self) -> np.ndarray:
+        """uint64 zig-zagged deltas, len n — computed on first use."""
+        if self._deltas is None:
+            with np.errstate(over="ignore"):
+                self._deltas = zigzag64(self.values - _I64(self.offset))
+        return self._deltas
 
     @property
     def size(self) -> int:
@@ -137,18 +154,21 @@ def plan_int_array(values: np.ndarray) -> PackPlan:
     n = len(values)
     n_parts = n // 64
     if n == 0:
-        return PackPlan(0, 0, np.empty(0, _U64), np.empty(0, np.int64), 0, 0)
+        return PackPlan(0, 0, values, np.empty(0, np.int64), 0, 0)
     vmin = int(values.min())
     vmax = int(values.max())
     offset = mid64(vmin, vmax)
-    with np.errstate(over="ignore"):
-        deltas = zigzag64(values - _I64(offset))
     if n_parts:
-        maxd = deltas[: n_parts * 64].reshape(n_parts, 64).max(axis=1)
-        nbits = bit_length64(maxd)
+        with np.errstate(over="ignore"):
+            d = values[: n_parts * 64].reshape(n_parts, 64) - _I64(offset)
+        # max zigzag per chunk without the full zigzag pass: zigzag is
+        # V-shaped in the signed delta (2x for x>=0, 2|x|-1 for x<0), so
+        # the chunk max is max(zigzag(chunk_max), zigzag(chunk_min))
+        maxzz = np.maximum(zigzag64(d.max(axis=1)), zigzag64(d.min(axis=1)))
+        nbits = bit_length64(maxzz)
     else:
         nbits = np.empty(0, dtype=np.int64)
-    return PackPlan(n, offset, deltas, nbits, vmin, vmax)
+    return PackPlan(n, offset, values, nbits, vmin, vmax)
 
 
 def packed_size(values: np.ndarray) -> int:
