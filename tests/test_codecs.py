@@ -421,3 +421,40 @@ def test_alp_rd_wire_layout():
         size = int(np.frombuffer(payload[p : p + 4], dtype="<u4")[0])
         p += 12 + size
     assert p == len(payload)
+
+
+def test_zlib_string_codec_roundtrip_and_gate():
+    """r5 ext: DEFLATE string candidate (stdlib stand-in for zstd), probe-
+    gated like FSST with its own per-column cache + decode budget.  Forced
+    and auto paths both roundtrip; the wire is skippable."""
+    from zebra_spark.codec import codecs
+    from zebra_spark.codec.codecs import skip_strings
+
+    rng = np.random.default_rng(4)
+    words = [b"the", b"model", b"training", b"pipeline", b"compression"]
+    strings = [
+        b" ".join(words[i] for i in rng.integers(0, len(words), size=40))
+        for _ in range(2000)
+    ]
+    lengths = np.array([len(s) for s in strings], dtype=np.int64)
+    concat = b"".join(strings)
+    # forced
+    c, pl, m = encode_strings(
+        lengths, concat, allow={StrCodec.ZEBRA, StrCodec.ZLIB}
+    )
+    assert c == StrCodec.ZLIB
+    ol, ob, p = decode_strings(c, pl, len(strings))
+    assert ob == concat and (ol == lengths).all() and p == len(pl)
+    assert skip_strings(c, pl, len(strings)) == len(pl)
+    assert m["bytes"] < 0.6 * m["zebra_bytes"]  # entropy coding wins on text
+    # auto probe under balanced + cache hit on the next block
+    key = "test.zlib.col"
+    try:
+        c2, pl2, _ = encode_strings(lengths, concat, probe_key=key)
+        assert key in codecs._ZLIB_PROBE_CACHE
+        c3, _, _ = encode_strings(lengths, concat, probe_key=key)
+        assert c3 == c2
+        ol, ob, _ = decode_strings(c2, pl2, len(strings))
+        assert ob == concat
+    finally:
+        codecs._ZLIB_PROBE_CACHE.pop(key, None)

@@ -78,8 +78,9 @@ class StrCodec:
     ZEBRA = 0  # lengths int_array + snappy concat (Array.hs:44-68)
     DICT = 1  # unique strings + index int column
     FSST = 2  # BPE-style symbol-table compression + lengths
+    ZLIB = 3  # DEFLATE concat (stdlib; r5 ext) — probe-gated like FSST
 
-    NAMES = {0: "zebra-snappy", 1: "dict", 2: "fsst"}
+    NAMES = {0: "zebra-snappy", 1: "dict", 2: "fsst", 3: "zlib"}
 
 
 def zebra_int_size(values: np.ndarray) -> int:
@@ -799,6 +800,11 @@ def skip_strings(codec: int, buf, n: int, pos: int = 0) -> int:
         for _ in range(n_codes):
             q += 1 + mv[q]
         return q + enc_len
+    if codec == StrCodec.ZLIB:
+        lp_len = int(np.frombuffer(mv[pos + 1 : pos + 5], dtype="<u4")[0])
+        p = pos + 5 + lp_len
+        comp_len = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
+        return p + 4 + comp_len
     raise ValueError(f"unknown string codec {codec}")
 
 
@@ -921,6 +927,38 @@ _DECODE_HANDICAP = {IntCodec.DELTA: 1.05}
 # dataset; the 64-block revalidation bounds any staleness, and the cache
 # only gates the PROBE — per-block size comparison still decides.
 _FSST_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
+
+
+# zlib (DEFLATE) auto-probe: same machinery as FSST — entropy coding
+# typically beats snappy 20-35% on text at a decode cost between snappy's
+# and FSST's, so it fills the gap the balanced policy leaves when FSST
+# fails its decode budget.  zstd would be the stronger public choice but
+# no zstd binding ships in this environment; DEFLATE is the stdlib
+# stand-in with the same wire/probe shape.
+_ZLIB_DECODE_BUDGET = 4.0
+_ZLIB_LEVEL = 6
+_ZLIB_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
+
+
+def _zlib_probe_decode_ok(sample: bytes, zlib_probe: bytes) -> bool:
+    """Relative decode timing, zlib vs the snappy path ZEBRA uses."""
+    import time
+    import zlib
+
+    import pyarrow as pa
+
+    try:
+        snappy = pa.Codec("snappy")
+        snap = snappy.compress(sample)
+        t0 = time.perf_counter()
+        snappy.decompress(snap, len(sample))
+        t_snappy = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        zlib.decompress(zlib_probe)
+        t_zlib = time.perf_counter() - t0
+        return t_zlib <= _ZLIB_DECODE_BUDGET * max(t_snappy, 1e-6)
+    except Exception:
+        return False
 
 
 def _probe_decode_ok(sample: bytes, fsst_probe: bytes) -> bool:
@@ -1062,6 +1100,51 @@ def encode_strings(
             if len(payload) < len(best[1]):
                 best = (StrCodec.FSST, payload)
 
+    # zlib candidate: probe-gated exactly like FSST (its own cache + decode
+    # budget).  The probe itself is cheap (~1 ms/64 KB) so it fires on any
+    # sizeable text column; the FULL compress only runs on a probe win.
+    import zlib as _zlib
+
+    zlib_forced = allow is not None and StrCodec.ZLIB in allow
+    zcached = _ZLIB_PROBE_CACHE.get(probe_key) if probe_key else None
+    if zcached is not None and zcached[1] > 0:
+        _ZLIB_PROBE_CACHE[probe_key] = (zcached[0], zcached[1] - 1)
+        zlib_worth = bool(zcached[0])
+        zprobe_allowed = False
+    else:
+        zlib_worth = False
+        zprobe_allowed = True
+    if (
+        zprobe_allowed
+        and allowed(StrCodec.ZLIB)
+        and not zlib_forced
+        and len(concat) >= (16 << 10)
+        and _CODEC_POLICY != "speed"
+    ):
+        sample = concat[: 64 << 10]
+        zprobe = _zlib.compress(sample, _ZLIB_LEVEL)
+        decision = False
+        best_ratio = len(best[1]) / (len(concat) + 8 * n)
+        if len(zprobe) / len(sample) < 0.9 * best_ratio:
+            if _CODEC_POLICY == "size" or _zlib_probe_decode_ok(sample, zprobe):
+                decision = True
+        zlib_worth = decision
+        if probe_key:
+            _ZLIB_PROBE_CACHE[probe_key] = (decision, 63)
+    if allowed(StrCodec.ZLIB) and len(concat) >= 256 and (zlib_forced or zlib_worth):
+        comp = _zlib.compress(concat, _ZLIB_LEVEL)
+        lcodec, lpayload, _ = encode_ints(lengths)
+        payload = (
+            bytes([lcodec])
+            + np.uint32(len(lpayload)).astype("<u4").tobytes()
+            + lpayload
+            + np.uint32(len(comp)).astype("<u4").tobytes()
+            + comp
+        )
+        candidates[StrCodec.ZLIB] = len(payload)
+        if len(payload) < len(best[1]):
+            best = (StrCodec.ZLIB, payload)
+
     codec, payload = best
     meta = {
         "codec": StrCodec.NAMES[codec],
@@ -1151,6 +1234,19 @@ def decode_strings(codec: int, buf, n: int, pos: int = 0):
         if int(lengths.sum()) != len(concat):
             raise ValueError("FSST lengths do not sum to byte count")
         return lengths, concat, p
+    if codec == StrCodec.ZLIB:
+        import zlib as _zlib
+
+        lcodec = mv[pos]
+        lp_len = int(np.frombuffer(mv[pos + 1 : pos + 5], dtype="<u4")[0])
+        lengths, p = decode_ints(lcodec, mv, n, pos + 5)
+        if p != pos + 5 + lp_len:
+            raise ValueError("ZLIB length-section size mismatch")
+        comp_len = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
+        concat = _zlib.decompress(bytes(mv[p + 4 : p + 4 + comp_len]))
+        if int(lengths.sum()) != len(concat):
+            raise ValueError("ZLIB lengths do not sum to byte count")
+        return lengths, concat, p + 4 + comp_len
     raise ValueError(f"unknown string codec {codec}")
 
 
