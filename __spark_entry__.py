@@ -1076,7 +1076,7 @@ def _q_verify_blocks(spark, sf_dir):
         F.count("*").alias("n_blocks"),
         F.sum(F.col("crc_ok").cast("long")).alias("crc_ok"),
         F.sum(F.col("decode_ok").cast("long")).alias("decode_ok"),
-        F.sum(F.col("reencode_identical").cast("long")).alias("reencode_identical"),
+        F.sum(F.col("reencode_ok").cast("long")).alias("reencode_ok"),
     )
 
 

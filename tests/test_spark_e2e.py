@@ -104,14 +104,16 @@ def test_verify_blocks_audit(spark):
     blocks = encode_df(df, rows_per_block=256).cache()
     report = verify_blocks(blocks).collect()
     assert len(report) == blocks.count()
-    assert all(r["crc_ok"] and r["decode_ok"] and r["reencode_identical"] for r in report)
+    assert all(r["crc_ok"] and r["decode_ok"] and r["reencode_ok"] for r in report)
 
-    # corrupt one block's payload (keep crc stale) -> flagged, job survives
+    # corrupt one block's payload (keep crc stale) -> flagged, job survives.
+    # Truncation is GUARANTEED to change the bytes (r5: an overwrite with
+    # X'00' silently matched when the payload already had 0x00 there)
     corrupted = blocks.withColumn(
         "payload",
         F.when(
             F.col("block_id") == blocks.head()["block_id"],
-            F.expr("concat(substring(payload, 1, 50), X'00', substring(payload, 52, length(payload)))"),
+            F.expr("substring(payload, 1, length(payload) - 7)"),
         ).otherwise(F.col("payload")),
     )
     rep2 = {r["block_id"]: r for r in verify_blocks(corrupted).collect()}

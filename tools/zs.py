@@ -408,8 +408,8 @@ def cmd_verify(args):
             F.count("*").alias("n_blocks"),
             F.sum(F.col("crc_ok").cast("long")).alias("crc_ok"),
             F.sum(F.col("decode_ok").cast("long")).alias("decode_ok"),
-            F.sum(F.col("reencode_identical").cast("long")).alias(
-                "reencode_identical"
+            F.sum(F.col("reencode_ok").cast("long")).alias(
+                "reencode_ok"
             ),
         )
         .collect()[0]

@@ -219,8 +219,11 @@ class _Sizes:
         self.zebra += meta["zebra_bytes"] + extra_zebra
 
 
-def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
+def _encode_column(
+    arr: pa.Array, path: str, out: list, sizes: _Sizes, use_hints: bool = True
+):
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    key = path if use_hints else None
     t = arr.type
     flags = 0
     has_nulls = arr.null_count > 0
@@ -229,7 +232,7 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
     out.append(bytes([flags]))
     if has_nulls:
         valid = _validity_np(arr).astype(_I64)
-        c, p, m = encode_ints(valid, probe_key=path + "#valid")
+        c, p, m = encode_ints(valid, probe_key=key and key + "#valid")
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path + "#valid", m)
@@ -242,7 +245,7 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
             vals,
             float_view=pa.types.is_float64(t),
             float32_view=pa.types.is_float32(t),
-            probe_key=path,
+            probe_key=key,
         )
         out.append(bytes([c]))
         out.append(p)
@@ -253,7 +256,7 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
     ) or pa.types.is_large_binary(t):
         lengths, concat = _binary_parts(arr)
         null_free = pc.fill_null(arr, b"" if not pa.types.is_string(t) else "") if arr.null_count else arr
-        c, p, m = encode_strings(lengths, concat, arrow_array=null_free, probe_key=path)
+        c, p, m = encode_strings(lengths, concat, arrow_array=null_free, probe_key=key)
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path, m)
@@ -264,16 +267,16 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
             lengths_arr = pc.fill_null(lengths_arr, 0)
         lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
         child = arr.flatten()  # concatenated values of valid rows only
-        c, p, m = encode_ints(lengths, probe_key=path + "#len")
+        c, p, m = encode_ints(lengths, probe_key=key and key + "#len")
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path + "#len", m)
         out.append(np.uint64(len(child)).astype("<u8").tobytes())
-        _encode_column(child, path + ".item", out, sizes)
+        _encode_column(child, path + ".item", out, sizes, use_hints=use_hints)
         return
     if pa.types.is_struct(t):
         for i, field in enumerate(t):
-            _encode_column(arr.field(i), path + "." + field.name, out, sizes)
+            _encode_column(arr.field(i), path + "." + field.name, out, sizes, use_hints=use_hints)
         return
     if pa.types.is_map(t):
         # map<k,v> ~ zebra's Map table nested per row (Schema.hs:83): a
@@ -286,12 +289,12 @@ def _encode_column(arr: pa.Array, path: str, out: list, sizes: _Sizes):
             lengths_arr = pc.fill_null(lengths_arr, 0)
         lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
         child = as_list.flatten()
-        c, p, m = encode_ints(lengths, probe_key=path + "#len")
+        c, p, m = encode_ints(lengths, probe_key=key and key + "#len")
         out.append(bytes([c]))
         out.append(p)
         sizes.leaf(path + "#len", m)
         out.append(np.uint64(len(child)).astype("<u8").tobytes())
-        _encode_column(child, path + ".entries", out, sizes)
+        _encode_column(child, path + ".entries", out, sizes, use_hints=use_hints)
         return
     raise NotImplementedError(f"unsupported arrow type for block encode: {t}")
 
@@ -311,8 +314,13 @@ def _map_as_list_type(t: pa.DataType) -> pa.DataType:
     )
 
 
-def encode_batch(batch: pa.RecordBatch):
-    """Encode a RecordBatch into one striped block. Returns (payload, meta)."""
+def encode_batch(batch: pa.RecordBatch, use_hints: bool = True):
+    """Encode a RecordBatch into one striped block. Returns (payload, meta).
+
+    ``use_hints=False`` disables the per-column probe/hint caches so the
+    encode is a pure function of the batch values (the audit path in
+    operators/verify.py needs a deterministic re-encode; the caches make
+    production selection depend on which blocks preceded this one)."""
     out: list[bytes] = [
         BLOCK_MAGIC,
         np.uint32(batch.num_rows).astype("<u4").tobytes(),
@@ -320,7 +328,7 @@ def encode_batch(batch: pa.RecordBatch):
     ]
     sizes = _Sizes()
     for name, col in zip(batch.schema.names, batch.columns):
-        _encode_column(col, name, out, sizes)
+        _encode_column(col, name, out, sizes, use_hints=use_hints)
     payload = b"".join(out)
     meta = {
         "n_rows": batch.num_rows,

@@ -3,9 +3,12 @@
 The operational complement of the round-trip law: at 100 TB you cannot
 diff decoded output against the source every day, but you CAN stream an
 audit pass that, per block, (a) checks the stored crc32, (b) decodes the
-payload, (c) re-encodes the decoded batch and confirms the bytes match
-(decode∘encode fixed point — catches codec regressions on live data
-without the original table).  One row out per block; no shuffle.
+payload, (c) re-encodes the decoded batch HINT-FREE (a pure function of
+the values — the production selector's per-column hint cache makes live
+encodes depend on preceding blocks, so byte identity is not an invariant)
+and confirms the re-encode decodes bit-identically (byte equality is kept
+as the cheap fast path).  Catches codec regressions on live data without
+the original table.  One row out per block; no shuffle.
 
 Reference analogue: `zebra consistency` / the round-trip laws of
 Test.Zebra.Serial.Binary run as a batch job instead of a test suite.
@@ -25,7 +28,7 @@ from ..codec.warmup import warm_codec
 
 VERIFY_DDL = (
     "block_id string, n_rows long, crc_ok boolean, decode_ok boolean, "
-    "reencode_identical boolean, error string"
+    "reencode_ok boolean, error string"
 )
 
 
@@ -42,7 +45,7 @@ def verify_blocks(blocks: DataFrame, check_reencode: bool = True) -> DataFrame:
         for rb in batches:
             out = {k: [] for k in (
                 "block_id", "n_rows", "crc_ok", "decode_ok",
-                "reencode_identical", "error",
+                "reencode_ok", "error",
             )}
             for i in range(rb.num_rows):
                 bid = rb.column("block_id")[i].as_py()
@@ -71,15 +74,19 @@ def verify_blocks(blocks: DataFrame, check_reencode: bool = True) -> DataFrame:
                         decoded = decode_batch(payload, schema)
                         decode_ok = decoded.num_rows == n_rows
                         if check_reencode:
-                            re_payload, _ = encode_batch(decoded)
-                            reenc = re_payload == payload
+                            re_payload, _ = encode_batch(decoded, use_hints=False)
+                            # byte equality = fast path; otherwise the
+                            # re-encode must decode bit-identically
+                            reenc = re_payload == payload or decode_batch(
+                                re_payload, schema
+                            ).equals(decoded)
                     except Exception as e:  # audit job must not die per block
                         err = f"{type(e).__name__}: {e}"[:300]
                 out["block_id"].append(bid)
                 out["n_rows"].append(n_rows)
                 out["crc_ok"].append(crc_ok)
                 out["decode_ok"].append(decode_ok)
-                out["reencode_identical"].append(reenc)
+                out["reencode_ok"].append(reenc)
                 out["error"].append(err)
             yield pa.RecordBatch.from_pydict(
                 out,
@@ -89,7 +96,7 @@ def verify_blocks(blocks: DataFrame, check_reencode: bool = True) -> DataFrame:
                         ("n_rows", pa.int64()),
                         ("crc_ok", pa.bool_()),
                         ("decode_ok", pa.bool_()),
-                        ("reencode_identical", pa.bool_()),
+                        ("reencode_ok", pa.bool_()),
                         ("error", pa.string()),
                     ]
                 ),
