@@ -458,3 +458,59 @@ def test_zlib_string_codec_roundtrip_and_gate():
         assert ob == concat
     finally:
         codecs._ZLIB_PROBE_CACHE.pop(key, None)
+
+
+def test_probe_loss_streak_flips_cached_positive():
+    """r5 review fix: a cached-positive FSST/ZLIB probe attempts the full
+    candidate on every block; after _PROBE_LOSS_LIMIT consecutive
+    selection losses the cache flips negative so later blocks stop paying
+    for a candidate that keeps being discarded (64-block revalidation
+    re-probes)."""
+    from zebra_spark.codec import codecs
+
+    rng = np.random.default_rng(11)
+    # 64 distinct random-1KB strings repeated: repeats sit far beyond
+    # DEFLATE's 32 KB window, so ZLIB stores ~the full concat while the
+    # DICT candidate collapses it to 64 uniques + tiny indices — ZLIB
+    # computes every block (cached-positive) and loses every block
+    uniq = [rng.bytes(1024) for _ in range(64)]
+    strings = [uniq[i] for i in rng.integers(0, 64, size=512)]
+    lengths = np.array([len(s) for s in strings], dtype=np.int64)
+    concat = b"".join(strings)
+    key = "test.zlib.losses"
+    try:
+        codecs._ZLIB_PROBE_CACHE[key] = (True, 63)
+        for i in range(codecs._PROBE_LOSS_LIMIT):
+            assert codecs._ZLIB_PROBE_CACHE[key][0] is True
+            c, _, _ = encode_strings(lengths, concat, probe_key=key)
+            assert c != StrCodec.ZLIB  # computed, lost
+        assert codecs._ZLIB_PROBE_CACHE[key][0] is False
+        # and the next block no longer computes the candidate at all
+        # (cache negative, probe suppressed for 63 blocks)
+        c, _, _ = encode_strings(lengths, concat, probe_key=key)
+        assert c != StrCodec.ZLIB
+    finally:
+        codecs._ZLIB_PROBE_CACHE.pop(key, None)
+        codecs._ZLIB_LOSS_STREAK.pop(key, None)
+
+
+def test_pfor_sampled_feasibility_margin_keeps_boundary_cut():
+    """r5 review fix: the sampled PFoR ranking allowed only ~1 sample
+    element of binomial noise above the n/8 exception bar, so a genuinely
+    feasible boundary cut (true exception fraction 12.4%) was marked
+    infeasible on ~half of blocks.  With the 3-sigma margin the cut stays
+    in the ranking and cost_exact settles it with the true count: seed 1
+    sampled-overestimates (p_hat 0.1273 > old bar 0.1251) yet PFoR must
+    still select the b=4 cut at ~3.6x below zebra."""
+    rng = np.random.default_rng(1)
+    n = 819200
+    mask = rng.random(n) < 0.124
+    vals = rng.integers(0, 16, size=n)
+    vals[mask] = rng.integers(1 << 39, 1 << 40, size=int(mask.sum()))
+    vals = vals.astype(np.int64)
+    c, payload, m = encode_ints(vals)
+    assert c == IntCodec.PFOR
+    assert payload[0] < 10  # the boundary cut, not a 40-bit fallback
+    assert m["bytes"] < 0.5 * m["zebra_bytes"]
+    out, p = decode_ints(c, payload, n)
+    assert (out == vals).all() and p == len(payload)

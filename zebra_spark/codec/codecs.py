@@ -17,6 +17,7 @@ Wire framing (ours, block-internal): ``u8 codec_id | payload``.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 
 import numpy as np
@@ -598,7 +599,12 @@ def _pfor_build(values: np.ndarray, zplan, hint_b: int | None = None):
         incl = np.cumsum(t[::-1])[::-1]  # incl[b] = sum_{w >= b} hist[w]*w
         exc_bits_at = np.concatenate([incl[1:], [0.0]])  # sum_{w > b}
         est = n_groups * 8.0 * bs + n_exc_at * 2 + exc_bits_at / 8
-        feasible = n_exc_at <= n / 8 + scale  # sampled: verified exactly
+        # sampled feasibility needs slack for binomial noise: with k
+        # exception elements in the sample, std(k) <= sqrt(k), so keep
+        # cuts within 3 sigma of the n/8 bar in the ranking — cost_exact
+        # settles them with the true exception count
+        k = n_exc_at / scale
+        feasible = n_exc_at <= n / 8 + 3.0 * scale * np.sqrt(np.maximum(k, 1.0))
         if not feasible.any():
             return None
         est[~feasible] = np.inf
@@ -917,6 +923,21 @@ def zebra_strings_size(lengths: np.ndarray, concat: bytes) -> int:
 _CODEC_POLICY = os.environ.get("ZS_CODEC_POLICY", "balanced")
 _FSST_DECODE_BUDGET = 4.0  # sample decode may cost at most 4x snappy's
 
+
+@_contextlib.contextmanager
+def codec_policy(policy: str):
+    """Temporarily override the codec policy for the calling thread's
+    encodes.  operators/verify.py re-encodes under ``speed`` so the audit
+    pass is probe-free (no wall-clock-dependent FSST/ZLIB decode probes)
+    and therefore a deterministic function of the block values."""
+    global _CODEC_POLICY
+    prev = _CODEC_POLICY
+    _CODEC_POLICY = policy
+    try:
+        yield
+    finally:
+        _CODEC_POLICY = prev
+
 # int-codec selection handicaps under the balanced policy: DELTA decode
 # needs an extra full cumsum pass over the output (measured ~1.4x zebra /
 # ~2x pfor on token streams), so it must win by >5% on size to be chosen
@@ -937,7 +958,16 @@ _FSST_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
 # stand-in with the same wire/probe shape.
 _ZLIB_DECODE_BUDGET = 4.0
 _ZLIB_LEVEL = 6
+_ZLIB_MAX_FULL = 32 << 20  # bound the per-block level-6 DEFLATE latency
 _ZLIB_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
+
+# cached-positive probes attempt the expensive candidate on EVERY block of
+# the column; if it keeps losing the per-block size selection anyway, flip
+# the cache negative (the 64-block revalidation will re-probe) instead of
+# paying full FSST/DEFLATE for a candidate that is then discarded
+_PROBE_LOSS_LIMIT = 4
+_FSST_LOSS_STREAK: dict[str, int] = {}
+_ZLIB_LOSS_STREAK: dict[str, int] = {}
 
 
 def _zlib_probe_decode_ok(sample: bytes, zlib_probe: bytes) -> bool:
@@ -1128,9 +1158,11 @@ def encode_strings(
         if len(zprobe) / len(sample) < 0.9 * best_ratio:
             if _CODEC_POLICY == "size" or _zlib_probe_decode_ok(sample, zprobe):
                 decision = True
-        zlib_worth = decision
+        zlib_worth = decision and len(concat) <= _ZLIB_MAX_FULL
         if probe_key:
             _ZLIB_PROBE_CACHE[probe_key] = (decision, 63)
+    if zlib_worth and len(concat) > _ZLIB_MAX_FULL:
+        zlib_worth = False  # cached-positive on an oversized block
     if allowed(StrCodec.ZLIB) and len(concat) >= 256 and (zlib_forced or zlib_worth):
         comp = _zlib.compress(concat, _ZLIB_LEVEL)
         lcodec, lpayload, _ = encode_ints(lengths)
@@ -1146,6 +1178,21 @@ def encode_strings(
             best = (StrCodec.ZLIB, payload)
 
     codec, payload = best
+    if probe_key:
+        for cid, cache, streak in (
+            (StrCodec.FSST, _FSST_PROBE_CACHE, _FSST_LOSS_STREAK),
+            (StrCodec.ZLIB, _ZLIB_PROBE_CACHE, _ZLIB_LOSS_STREAK),
+        ):
+            if cid not in candidates:
+                continue
+            if codec == cid:
+                streak[probe_key] = 0
+            else:
+                s = streak.get(probe_key, 0) + 1
+                streak[probe_key] = s
+                if s >= _PROBE_LOSS_LIMIT and cache.get(probe_key, (False, 0))[0]:
+                    cache[probe_key] = (False, 63)
+                    streak[probe_key] = 0
     meta = {
         "codec": StrCodec.NAMES[codec],
         "n": n,

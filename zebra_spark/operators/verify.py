@@ -3,12 +3,23 @@
 The operational complement of the round-trip law: at 100 TB you cannot
 diff decoded output against the source every day, but you CAN stream an
 audit pass that, per block, (a) checks the stored crc32, (b) decodes the
-payload, (c) re-encodes the decoded batch HINT-FREE (a pure function of
-the values — the production selector's per-column hint cache makes live
-encodes depend on preceding blocks, so byte identity is not an invariant)
-and confirms the re-encode decodes bit-identically (byte equality is kept
-as the cheap fast path).  Catches codec regressions on live data without
-the original table.  One row out per block; no shuffle.
+payload, (c) re-encodes the decoded batch HINT-FREE and PROBE-FREE (the
+production selector's per-column hint cache and timed FSST/ZLIB probes
+make live encodes depend on preceding blocks and wall-clock; the audit
+re-encode runs under the ``speed`` policy so it is a deterministic
+function of the block values) and confirms the re-encode decodes
+BIT-identically — compared via IPC bytes, so NaN payload bits and signed
+zeros are held to the same bit-exact standard as the round-trip tests.
+Byte equality of the payloads is kept as the cheap fast path.
+
+Scope (what the law can and cannot catch): crc_ok catches storage
+corruption; decode_ok catches payloads the current decoder rejects;
+reencode_ok catches ENCODE-side regressions and encode/decode
+inconsistency on live data.  A decode-side regression that is
+self-consistent (wrong values that re-encode back to themselves) is
+invisible here by construction — that class is covered by the
+source-diff round-trip tests and tools/check_correctness.py, not by an
+in-place audit.  One row out per block; no shuffle.
 
 Reference analogue: `zebra consistency` / the round-trip laws of
 Test.Zebra.Serial.Binary run as a batch job instead of a test suite.
@@ -23,8 +34,23 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
+from ..codec import codecs as _codecs
 from ..codec.blocks import decode_batch, encode_batch
 from ..codec.warmup import warm_codec
+
+
+def _ipc_bytes(rb: pa.RecordBatch) -> bytes:
+    """Canonical IPC serialization for bit-exact batch comparison.
+
+    Both sides come from ``decode_batch`` (same construction path, zero
+    buffer offsets), so equal IPC bytes <=> bit-identical content —
+    unlike ``RecordBatch.equals``, which treats NaN != NaN and would
+    false-alarm on any NaN-bearing float block whose re-encode differs
+    bytewise from the stored payload."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, rb.schema) as writer:
+        writer.write_batch(rb)
+    return sink.getvalue().to_pybytes()
 
 VERIFY_DDL = (
     "block_id string, n_rows long, crc_ok boolean, decode_ok boolean, "
@@ -74,12 +100,15 @@ def verify_blocks(blocks: DataFrame, check_reencode: bool = True) -> DataFrame:
                         decoded = decode_batch(payload, schema)
                         decode_ok = decoded.num_rows == n_rows
                         if check_reencode:
-                            re_payload, _ = encode_batch(decoded, use_hints=False)
+                            with _codecs.codec_policy("speed"):
+                                re_payload, _ = encode_batch(
+                                    decoded, use_hints=False
+                                )
                             # byte equality = fast path; otherwise the
                             # re-encode must decode bit-identically
-                            reenc = re_payload == payload or decode_batch(
-                                re_payload, schema
-                            ).equals(decoded)
+                            reenc = re_payload == payload or _ipc_bytes(
+                                decode_batch(re_payload, schema)
+                            ) == _ipc_bytes(decoded)
                     except Exception as e:  # audit job must not die per block
                         err = f"{type(e).__name__}: {e}"[:300]
                 out["block_id"].append(bid)
