@@ -173,3 +173,35 @@ def test_full_range_int64_chunk_roundtrip():
     # direct bit_length64 check at the repair boundary
     vals = np.array([2**64 - 1, 2**64 - 1024, 2**63, 2**63 - 1], dtype=np.uint64)
     assert bit_length64(vals).tolist() == [64, 64, 64, 63]
+
+
+def test_bp64_divisor_fast_path_matches_general_wire():
+    """r5: divisor widths (64 % w == 0) pack via binary doubling — the
+    wire must stay IDENTICAL to the word-major general path (not merely
+    roundtrippable), since BP64 bit order is normative-public and
+    golden-pinned.  Re-derive the general path inline and compare every
+    width, plus roundtrip through the production unpack."""
+    import numpy as np
+    from zebra_spark.codec.intcodec import _bp64_pack_group, _bp64_unpack_group
+
+    U = np.uint64
+    def general_pack(vals, w):
+        m = vals.shape[0]
+        vt = np.ascontiguousarray(vals.T)
+        out = np.zeros((w, m), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(64):
+                start = i * w
+                wi, sh = start >> 6, start & 63
+                out[wi] |= np.left_shift(vt[i], U(sh))
+                if sh + w > 64:
+                    out[wi + 1] |= np.right_shift(vt[i], U(64 - sh))
+        return np.ascontiguousarray(out.T)
+
+    rng = np.random.default_rng(7)
+    for w in range(1, 65):
+        hi = (1 << w) if w < 64 else 2**63
+        vals = rng.integers(0, hi, size=(23, 64), dtype=np.uint64)
+        packed = _bp64_pack_group(vals, w)
+        assert np.array_equal(packed, general_pack(vals, w)), f"w={w}"
+        assert np.array_equal(_bp64_unpack_group(packed, w), vals), f"w={w}"
