@@ -155,18 +155,35 @@ def plan_int_array(values: np.ndarray) -> PackPlan:
     n_parts = n // 64
     if n == 0:
         return PackPlan(0, 0, values, np.empty(0, np.int64), 0, 0)
-    vmin = int(values.min())
-    vmax = int(values.max())
-    offset = mid64(vmin, vmax)
     if n_parts:
-        with np.errstate(over="ignore"):
-            d = values[: n_parts * 64].reshape(n_parts, 64) - _I64(offset)
+        # per-chunk min/max FIRST, then subtract the offset from the
+        # n_parts-sized reductions only: mid64 guarantees every
+        # (value - offset) fits int64 without wrap, so the constant
+        # subtract is order-preserving and commutes with the chunk
+        # reductions — this drops the full-size delta materialization
+        # (one 8n write + two 8n reads) from the plan's hot path
+        chunks = values[: n_parts * 64].reshape(n_parts, 64)
+        cmax = chunks.max(axis=1)
+        cmin = chunks.min(axis=1)
+        vmax = int(cmax.max())
+        vmin = int(cmin.min())
+        rem = values[n_parts * 64 :]
+        if len(rem):
+            vmax = max(vmax, int(rem.max()))
+            vmin = min(vmin, int(rem.min()))
+        offset = mid64(vmin, vmax)
         # max zigzag per chunk without the full zigzag pass: zigzag is
         # V-shaped in the signed delta (2x for x>=0, 2|x|-1 for x<0), so
         # the chunk max is max(zigzag(chunk_max), zigzag(chunk_min))
-        maxzz = np.maximum(zigzag64(d.max(axis=1)), zigzag64(d.min(axis=1)))
+        with np.errstate(over="ignore"):
+            maxzz = np.maximum(
+                zigzag64(cmax - _I64(offset)), zigzag64(cmin - _I64(offset))
+            )
         nbits = bit_length64(maxzz)
     else:
+        vmin = int(values.min())
+        vmax = int(values.max())
+        offset = mid64(vmin, vmax)
         nbits = np.empty(0, dtype=np.int64)
     return PackPlan(n, offset, values, nbits, vmin, vmax)
 
