@@ -635,7 +635,10 @@ def _pfor_build(values: np.ndarray, zplan, hint_b: int | None = None):
         return None
 
     def thunk():
-        base = u.copy()
+        # the thunk runs at most once (only for the selected winner) and
+        # u is local to this plan — zero the exception slots in place
+        # instead of copying the full 8n-byte delta array
+        base = u
         if n_exc:
             base[positions] = 0
         pad = n_groups * 64 - n
