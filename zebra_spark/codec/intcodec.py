@@ -40,7 +40,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import sys
+
 import numpy as np
+
+# the astype/view byte-reinterpretation fast paths assume native
+# little-endian word layout (x86/arm64); big-endian hosts fall back to
+# the endian-independent shift paths, which emit the identical LE wire
+_NATIVE_LE = sys.byteorder == "little"
 
 __all__ = [
     "zigzag64",
@@ -207,6 +214,20 @@ def _bp64_pack_group(vals: np.ndarray, w: int) -> np.ndarray:
     m = vals.shape[0]
     if w == 64:
         return np.ascontiguousarray(vals)
+    if w and 64 % w == 0 and _NATIVE_LE:
+        # byte-aligned widths: the LSB-first sequential layout makes the
+        # packed words literally the values in little-endian byte order —
+        # one truncating astype + view replaces every shift pass.
+        # Sub-byte widths double up to 8 bits first, then take the view.
+        cur = vals
+        width = w
+        with np.errstate(over="ignore"):
+            while width < 8:
+                pair = cur.reshape(m, -1, 2)
+                cur = pair[:, :, 0] | np.left_shift(pair[:, :, 1], _U64(width))
+                width *= 2
+        dt = {8: np.uint8, 16: np.uint16, 32: np.uint32}[width]
+        return np.ascontiguousarray(cur).astype(dt).view(_U64).reshape(m, w)
     if w and 64 % w == 0:
         cur = vals
         width = w
@@ -234,6 +255,11 @@ def _bp64_unpack_group(words: np.ndarray, w: int) -> np.ndarray:
     m = words.shape[0]
     if w == 64:
         return np.ascontiguousarray(words)
+    if w in (8, 16, 32) and _NATIVE_LE:
+        # byte-aligned inverse of the astype/view pack path: reinterpret
+        # the word bytes as the values directly, widen once to uint64
+        dt = {8: np.uint8, 16: np.uint16, 32: np.uint32}[w]
+        return np.ascontiguousarray(words).view(dt).astype(_U64).reshape(m, 64)
     if w >= 16 and 64 % w == 0:
         # inverse binary doubling: split each element into (low, high)
         # halves until back at width w; only the low half needs masking
