@@ -869,12 +869,17 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
             words = np.frombuffer(mv[p : p + nbytes], dtype="<u8").reshape(
                 n_groups, b
             )
-            base = _bp64_unpack_group(words.astype(np.uint64), b).reshape(-1)[:n]
+            base = _bp64_unpack_group(
+                words.astype(np.uint64, copy=False), b
+            ).reshape(-1)[:n]
             p += nbytes
         else:
             base = np.zeros(n, dtype=np.uint64)
+        out = base.view(_I64)
+        if not out.flags.writeable:  # w==64 unpack can alias the buffer
+            out = out.copy()
         with np.errstate(over="ignore"):
-            out = (base.view(_I64) + _I64(vmin)).astype(_I64)
+            out += _I64(vmin)
         if n_exc:
             positions, p = unpack_int_array(mv, n_exc, p)
             exc_vals, p = unpack_int_array(mv, n_exc, p)
@@ -896,7 +901,9 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
             words = np.frombuffer(mv[p : p + nbytes], dtype="<u8").reshape(
                 n_groups, r
             )
-            right = _bp64_unpack_group(words.astype(np.uint64), r).reshape(-1)[:n]
+            right = _bp64_unpack_group(
+                words.astype(np.uint64, copy=False), r
+            ).reshape(-1)[:n]
             p += nbytes
         else:
             right = np.zeros(n, dtype=np.uint64)
