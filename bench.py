@@ -258,7 +258,36 @@ def encode_lanes():
     sweep["scaling_attempts"] = sweep_attempts
     sweep["size_policy"] = size_policy_run()
     sweep["decode"] = decode
+    sweep["engine_probe"] = engine_probe_run()
     return sweep
+
+
+def engine_probe_run():
+    """Spark-free multiprocessing scaling probe (tools/mp_scaling.py) on
+    the scaling input.  Reports wall AND CPU-second efficiency: process
+    CPU time excludes host steal, so cpu_second_efficiency measures the
+    engine's own coordination overhead independently of the sandbox's
+    time-varying core grant — the wall ratio structurally cannot once
+    single-core throughput saturates the host's aggregate budget
+    (BENCH/BASELINE.md sections 3 and 10.7)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(here, "tools", "mp_scaling.py"),
+                str(LO), str(HI), "2", F1_SCALING_PATH,
+            ],
+            capture_output=True, text=True, timeout=900,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            return {"error": (out.stderr or out.stdout)[-300:]}
+        return json.loads(lines[-1])
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"[:300]}
 
 
 def size_policy_run():

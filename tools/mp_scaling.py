@@ -27,15 +27,21 @@ def encode_split(args):
     from zebra_spark.operators.encode import encode_chunk_rows
 
     warm_codec()
+    # CPU-seconds (process_time excludes host steal/dethrottle), so the
+    # cpu_second_efficiency derived from it measures the ENGINE's
+    # coordination overhead independently of the sandbox's time-varying
+    # core grant — the wall ratio cannot (BENCH/BASELINE.md section 3)
+    c0 = time.process_time()
     pf = pq.ParquetFile(path)
     table = pf.read_row_group(rg)
-    total = {"rows": 0, "enc": 0, "zebra": 0, "tok": 0}
+    total = {"rows": 0, "enc": 0, "zebra": 0, "tok": 0, "cpu": 0.0}
     for chunk in table.to_batches(max_chunksize=1 << 16):
         for block in encode_chunk_rows(chunk, task_tag=f"{path}:{rg}"):
             total["rows"] += block.column("n_rows")[0].as_py()
             total["enc"] += block.column("enc_bytes")[0].as_py()
             total["zebra"] += block.column("zebra_bytes")[0].as_py()
     total["tok"] += int(table.column("n_tok").to_numpy().sum())
+    total["cpu"] = time.process_time() - c0
     return total
 
 
@@ -75,11 +81,19 @@ def main():
             "procs": n,
             "sec": round(best[n]["sec"], 2),
             "tokens_per_sec": round(best[n]["tok"] / best[n]["sec"]),
+            "cpu_sec": round(best[n]["cpu"], 2),
+            "tokens_per_cpu_sec": round(best[n]["tok"] / best[n]["cpu"]),
             "vs_zebra": round(best[n]["enc"] / best[n]["zebra"], 4),
         }
     out["scaling_efficiency"] = round(
         (out[f"p{hi}"]["tokens_per_sec"] / out[f"p{lo}"]["tokens_per_sec"])
         / (hi / lo),
+        3,
+    )
+    # flat tokens/CPU-second from lo to hi procs == no coordination
+    # overhead added by parallelism; host-budget independent
+    out["cpu_second_efficiency"] = round(
+        out[f"p{hi}"]["tokens_per_cpu_sec"] / out[f"p{lo}"]["tokens_per_cpu_sec"],
         3,
     )
     print(json.dumps(out))
