@@ -447,17 +447,67 @@ def test_zlib_string_codec_roundtrip_and_gate():
     assert ob == concat and (ol == lengths).all() and p == len(pl)
     assert skip_strings(c, pl, len(strings)) == len(pl)
     assert m["bytes"] < 0.6 * m["zebra_bytes"]  # entropy coding wins on text
-    # auto probe under balanced + cache hit on the next block
+    # auto probe under balanced + cache hit on the next block (the active
+    # general-purpose candidate is zstd here, DEFLATE where pyarrow lacks it)
     key = "test.zlib.col"
     try:
         c2, pl2, _ = encode_strings(lengths, concat, probe_key=key)
-        assert key in codecs._ZLIB_PROBE_CACHE
+        assert key in codecs._GP_PROBE_CACHE
         c3, _, _ = encode_strings(lengths, concat, probe_key=key)
         assert c3 == c2
         ol, ob, _ = decode_strings(c2, pl2, len(strings))
         assert ob == concat
     finally:
-        codecs._ZLIB_PROBE_CACHE.pop(key, None)
+        codecs._GP_PROBE_CACHE.pop(key, None)
+
+
+def test_zstd_string_codec_roundtrip_and_selection():
+    """r5 ext: zstd replaces DEFLATE as the general-purpose candidate when
+    the pyarrow codec is available (strictly dominates DEFLATE-6 on text:
+    smaller, faster compress, 4x faster decompress).  Forced and auto
+    paths roundtrip; the wire is skippable; DEFLATE stays decodable."""
+    from zebra_spark.codec import codecs
+    from zebra_spark.codec.codecs import skip_strings
+
+    if not codecs._zstd_available():
+        import pytest
+
+        pytest.skip("pyarrow zstd codec unavailable")
+    rng = np.random.default_rng(7)
+    words = [b"the", b"model", b"training", b"pipeline", b"compression"]
+    strings = [
+        b" ".join(words[i] for i in rng.integers(0, len(words), size=40))
+        for _ in range(2000)
+    ]
+    lengths = np.array([len(s) for s in strings], dtype=np.int64)
+    concat = b"".join(strings)
+    # forced
+    c, pl, m = encode_strings(
+        lengths, concat, allow={StrCodec.ZEBRA, StrCodec.ZSTD}
+    )
+    assert c == StrCodec.ZSTD and m["codec"] == "zstd"
+    ol, ob, p = decode_strings(c, pl, len(strings))
+    assert ob == concat and (ol == lengths).all() and p == len(pl)
+    assert skip_strings(c, pl, len(strings)) == len(pl)
+    assert m["bytes"] < 0.6 * m["zebra_bytes"]
+    # auto probe under balanced selects zstd on this text
+    key = "test.zstd.col"
+    try:
+        c2, pl2, _ = encode_strings(lengths, concat, probe_key=key)
+        assert c2 == StrCodec.ZSTD
+        ol, ob, _ = decode_strings(c2, pl2, len(strings))
+        assert ob == concat
+    finally:
+        codecs._GP_PROBE_CACHE.pop(key, None)
+        codecs._GP_LOSS_STREAK.pop(key, None)
+    # size policy compresses at least as well as balanced
+    with codecs.codec_policy("size"):
+        c4, pl4, _ = encode_strings(
+            lengths, concat, allow={StrCodec.ZEBRA, StrCodec.ZSTD}
+        )
+    assert c4 == StrCodec.ZSTD and len(pl4) <= len(pl)
+    ol, ob, _ = decode_strings(c4, pl4, len(strings))
+    assert ob == concat and (ol == lengths).all()
 
 
 def test_probe_loss_streak_flips_cached_positive():
@@ -469,29 +519,31 @@ def test_probe_loss_streak_flips_cached_positive():
     from zebra_spark.codec import codecs
 
     rng = np.random.default_rng(11)
-    # 64 distinct random-1KB strings repeated: repeats sit far beyond
-    # DEFLATE's 32 KB window, so ZLIB stores ~the full concat while the
-    # DICT candidate collapses it to 64 uniques + tiny indices — ZLIB
-    # computes every block (cached-positive) and loses every block
-    uniq = [rng.bytes(1024) for _ in range(64)]
-    strings = [uniq[i] for i in rng.integers(0, 64, size=512)]
+    # 8 distinct random-32B strings repeated 10000x: the DICT candidate
+    # collapses them to 256 unique bytes + ~4-bit indices, while any
+    # sequence compressor (zstd or DEFLATE) still pays a match token per
+    # repeat — the gp candidate computes every block (cached-positive)
+    # and loses every block
+    uniq = [rng.bytes(32) for _ in range(8)]
+    strings = [uniq[i] for i in rng.integers(0, 8, size=10000)]
     lengths = np.array([len(s) for s in strings], dtype=np.int64)
     concat = b"".join(strings)
+    gp_ids = {StrCodec.ZLIB, StrCodec.ZSTD}
     key = "test.zlib.losses"
     try:
-        codecs._ZLIB_PROBE_CACHE[key] = (True, 63)
+        codecs._GP_PROBE_CACHE[key] = (True, 63)
         for i in range(codecs._PROBE_LOSS_LIMIT):
-            assert codecs._ZLIB_PROBE_CACHE[key][0] is True
+            assert codecs._GP_PROBE_CACHE[key][0] is True
             c, _, _ = encode_strings(lengths, concat, probe_key=key)
-            assert c != StrCodec.ZLIB  # computed, lost
-        assert codecs._ZLIB_PROBE_CACHE[key][0] is False
+            assert c not in gp_ids  # computed, lost
+        assert codecs._GP_PROBE_CACHE[key][0] is False
         # and the next block no longer computes the candidate at all
         # (cache negative, probe suppressed for 63 blocks)
         c, _, _ = encode_strings(lengths, concat, probe_key=key)
-        assert c != StrCodec.ZLIB
+        assert c not in gp_ids
     finally:
-        codecs._ZLIB_PROBE_CACHE.pop(key, None)
-        codecs._ZLIB_LOSS_STREAK.pop(key, None)
+        codecs._GP_PROBE_CACHE.pop(key, None)
+        codecs._GP_LOSS_STREAK.pop(key, None)
 
 
 def test_pfor_sampled_feasibility_margin_keeps_boundary_cut():

@@ -80,8 +80,9 @@ class StrCodec:
     DICT = 1  # unique strings + index int column
     FSST = 2  # BPE-style symbol-table compression + lengths
     ZLIB = 3  # DEFLATE concat (stdlib; r5 ext) — probe-gated like FSST
+    ZSTD = 4  # zstd concat (pyarrow codec; r5 ext) — same wire frame as ZLIB
 
-    NAMES = {0: "zebra-snappy", 1: "dict", 2: "fsst", 3: "zlib"}
+    NAMES = {0: "zebra-snappy", 1: "dict", 2: "fsst", 3: "zlib", 4: "zstd"}
 
 
 def zebra_int_size(values: np.ndarray) -> int:
@@ -809,7 +810,7 @@ def skip_strings(codec: int, buf, n: int, pos: int = 0) -> int:
         for _ in range(n_codes):
             q += 1 + mv[q]
         return q + enc_len
-    if codec == StrCodec.ZLIB:
+    if codec in (StrCodec.ZLIB, StrCodec.ZSTD):
         lp_len = int(np.frombuffer(mv[pos + 1 : pos + 5], dtype="<u4")[0])
         p = pos + 5 + lp_len
         comp_len = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
@@ -960,30 +961,73 @@ _DECODE_HANDICAP = {IntCodec.DELTA: 1.05}
 _FSST_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
 
 
-# zlib (DEFLATE) auto-probe: same machinery as FSST — entropy coding
-# typically beats snappy 20-35% on text at a decode cost between snappy's
-# and FSST's, so it fills the gap the balanced policy leaves when FSST
-# fails its decode budget.  zstd would be the stronger public choice but
-# no zstd binding ships in this environment; DEFLATE is the stdlib
-# stand-in with the same wire/probe shape.
-_ZLIB_DECODE_BUDGET = 4.0
+# general-purpose-compressor auto-probe: same machinery as FSST — entropy
+# coding typically beats snappy 2-3x on text at a decode cost between
+# snappy's and FSST's, so it fills the gap the balanced policy leaves when
+# FSST fails its decode budget.  The candidate is zstd via the pyarrow
+# codec when available (measured on document text vs DEFLATE-6: level 12
+# is 3% smaller, 1.4x faster compress AND 4.4x faster decompress — a
+# strict dominance), falling back to stdlib DEFLATE otherwise.  Both wire
+# ids stay decodable forever; only the CANDIDATE choice depends on the
+# environment.
+_GP_DECODE_BUDGET = 4.0
 _ZLIB_LEVEL = 6
-_ZLIB_MAX_FULL = 32 << 20  # bound the per-block level-6 DEFLATE latency
-_ZLIB_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
+_ZSTD_LEVEL = 12  # balanced: beats DEFLATE-6 on size, compress and decode
+_ZSTD_LEVEL_SIZE = 19  # size policy: ~19% smaller than DEFLATE-6 on text
+_GP_MAX_FULL = 32 << 20  # bound the per-block full-compress latency
+_GP_PROBE_CACHE: dict[str, tuple[bool, int]] = {}
 
 # cached-positive probes attempt the expensive candidate on EVERY block of
 # the column; if it keeps losing the per-block size selection anyway, flip
 # the cache negative (the 64-block revalidation will re-probe) instead of
-# paying full FSST/DEFLATE for a candidate that is then discarded
+# paying full FSST/zstd for a candidate that is then discarded
 _PROBE_LOSS_LIMIT = 4
 _FSST_LOSS_STREAK: dict[str, int] = {}
-_ZLIB_LOSS_STREAK: dict[str, int] = {}
+_GP_LOSS_STREAK: dict[str, int] = {}
+
+_HAVE_ZSTD: bool | None = None
 
 
-def _zlib_probe_decode_ok(sample: bytes, zlib_probe: bytes) -> bool:
-    """Relative decode timing, zlib vs the snappy path ZEBRA uses."""
-    import time
+def _zstd_available() -> bool:
+    global _HAVE_ZSTD
+    if _HAVE_ZSTD is None:
+        try:
+            import pyarrow as pa
+
+            pa.Codec("zstd", compression_level=_ZSTD_LEVEL)
+            _HAVE_ZSTD = True
+        except Exception:
+            _HAVE_ZSTD = False
+    return _HAVE_ZSTD
+
+
+def _gp_compress(data, gp_id: int, level: int) -> bytes:
+    if gp_id == StrCodec.ZSTD:
+        import pyarrow as pa
+
+        return pa.Codec("zstd", compression_level=level).compress(
+            data, asbytes=True
+        )
     import zlib
+
+    return zlib.compress(data, level)
+
+
+def _gp_decompress(comp, gp_id: int, expected_len: int) -> bytes:
+    if gp_id == StrCodec.ZSTD:
+        import pyarrow as pa
+
+        return pa.Codec("zstd").decompress(
+            comp, decompressed_size=expected_len, asbytes=True
+        )
+    import zlib
+
+    return zlib.decompress(bytes(comp))
+
+
+def _gp_probe_decode_ok(sample: bytes, gp_probe: bytes, gp_id: int) -> bool:
+    """Relative decode timing, candidate vs the snappy path ZEBRA uses."""
+    import time
 
     import pyarrow as pa
 
@@ -994,9 +1038,9 @@ def _zlib_probe_decode_ok(sample: bytes, zlib_probe: bytes) -> bool:
         snappy.decompress(snap, len(sample))
         t_snappy = time.perf_counter() - t0
         t0 = time.perf_counter()
-        zlib.decompress(zlib_probe)
-        t_zlib = time.perf_counter() - t0
-        return t_zlib <= _ZLIB_DECODE_BUDGET * max(t_snappy, 1e-6)
+        _gp_decompress(gp_probe, gp_id, len(sample))
+        t_gp = time.perf_counter() - t0
+        return t_gp <= _GP_DECODE_BUDGET * max(t_snappy, 1e-6)
     except Exception:
         return False
 
@@ -1140,41 +1184,47 @@ def encode_strings(
             if len(payload) < len(best[1]):
                 best = (StrCodec.FSST, payload)
 
-    # zlib candidate: probe-gated exactly like FSST (its own cache + decode
+    # general-purpose-compressor candidate: zstd when pyarrow has it, else
+    # DEFLATE; probe-gated exactly like FSST (its own cache + decode
     # budget).  The probe itself is cheap (~1 ms/64 KB) so it fires on any
     # sizeable text column; the FULL compress only runs on a probe win.
-    import zlib as _zlib
-
-    zlib_forced = allow is not None and StrCodec.ZLIB in allow
-    zcached = _ZLIB_PROBE_CACHE.get(probe_key) if probe_key else None
+    if _zstd_available() and allowed(StrCodec.ZSTD):
+        gp_id = StrCodec.ZSTD
+        gp_level = _ZSTD_LEVEL_SIZE if _CODEC_POLICY == "size" else _ZSTD_LEVEL
+    else:
+        gp_id, gp_level = StrCodec.ZLIB, _ZLIB_LEVEL
+    gp_forced = allow is not None and gp_id in allow
+    zcached = _GP_PROBE_CACHE.get(probe_key) if probe_key else None
     if zcached is not None and zcached[1] > 0:
-        _ZLIB_PROBE_CACHE[probe_key] = (zcached[0], zcached[1] - 1)
-        zlib_worth = bool(zcached[0])
+        _GP_PROBE_CACHE[probe_key] = (zcached[0], zcached[1] - 1)
+        gp_worth = bool(zcached[0])
         zprobe_allowed = False
     else:
-        zlib_worth = False
+        gp_worth = False
         zprobe_allowed = True
     if (
         zprobe_allowed
-        and allowed(StrCodec.ZLIB)
-        and not zlib_forced
+        and allowed(gp_id)
+        and not gp_forced
         and len(concat) >= (16 << 10)
         and _CODEC_POLICY != "speed"
     ):
         sample = concat[: 64 << 10]
-        zprobe = _zlib.compress(sample, _ZLIB_LEVEL)
+        zprobe = _gp_compress(sample, gp_id, gp_level)
         decision = False
         best_ratio = len(best[1]) / (len(concat) + 8 * n)
         if len(zprobe) / len(sample) < 0.9 * best_ratio:
-            if _CODEC_POLICY == "size" or _zlib_probe_decode_ok(sample, zprobe):
+            if _CODEC_POLICY == "size" or _gp_probe_decode_ok(
+                sample, zprobe, gp_id
+            ):
                 decision = True
-        zlib_worth = decision and len(concat) <= _ZLIB_MAX_FULL
+        gp_worth = decision and len(concat) <= _GP_MAX_FULL
         if probe_key:
-            _ZLIB_PROBE_CACHE[probe_key] = (decision, 63)
-    if zlib_worth and len(concat) > _ZLIB_MAX_FULL:
-        zlib_worth = False  # cached-positive on an oversized block
-    if allowed(StrCodec.ZLIB) and len(concat) >= 256 and (zlib_forced or zlib_worth):
-        comp = _zlib.compress(concat, _ZLIB_LEVEL)
+            _GP_PROBE_CACHE[probe_key] = (decision, 63)
+    if gp_worth and len(concat) > _GP_MAX_FULL:
+        gp_worth = False  # cached-positive on an oversized block
+    if allowed(gp_id) and len(concat) >= 256 and (gp_forced or gp_worth):
+        comp = _gp_compress(concat, gp_id, gp_level)
         lcodec, lpayload, _ = encode_ints(lengths)
         payload = (
             bytes([lcodec])
@@ -1183,15 +1233,15 @@ def encode_strings(
             + np.uint32(len(comp)).astype("<u4").tobytes()
             + comp
         )
-        candidates[StrCodec.ZLIB] = len(payload)
+        candidates[gp_id] = len(payload)
         if len(payload) < len(best[1]):
-            best = (StrCodec.ZLIB, payload)
+            best = (gp_id, payload)
 
     codec, payload = best
     if probe_key:
         for cid, cache, streak in (
             (StrCodec.FSST, _FSST_PROBE_CACHE, _FSST_LOSS_STREAK),
-            (StrCodec.ZLIB, _ZLIB_PROBE_CACHE, _ZLIB_LOSS_STREAK),
+            (gp_id, _GP_PROBE_CACHE, _GP_LOSS_STREAK),
         ):
             if cid not in candidates:
                 continue
@@ -1291,18 +1341,18 @@ def decode_strings(codec: int, buf, n: int, pos: int = 0):
         if int(lengths.sum()) != len(concat):
             raise ValueError("FSST lengths do not sum to byte count")
         return lengths, concat, p
-    if codec == StrCodec.ZLIB:
-        import zlib as _zlib
-
+    if codec in (StrCodec.ZLIB, StrCodec.ZSTD):
+        name = StrCodec.NAMES[codec].upper()
         lcodec = mv[pos]
         lp_len = int(np.frombuffer(mv[pos + 1 : pos + 5], dtype="<u4")[0])
         lengths, p = decode_ints(lcodec, mv, n, pos + 5)
         if p != pos + 5 + lp_len:
-            raise ValueError("ZLIB length-section size mismatch")
+            raise ValueError(f"{name} length-section size mismatch")
         comp_len = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
-        concat = _zlib.decompress(bytes(mv[p + 4 : p + 4 + comp_len]))
-        if int(lengths.sum()) != len(concat):
-            raise ValueError("ZLIB lengths do not sum to byte count")
+        expected = int(lengths.sum())
+        concat = _gp_decompress(mv[p + 4 : p + 4 + comp_len], codec, expected)
+        if expected != len(concat):
+            raise ValueError(f"{name} lengths do not sum to byte count")
         return lengths, concat, p + 4 + comp_len
     raise ValueError(f"unknown string codec {codec}")
 
