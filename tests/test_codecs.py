@@ -46,10 +46,12 @@ def test_selector_picks_sensible_codecs():
     rng = np.random.default_rng(0)
     # constant column
     roundtrip_ints(np.full(1000, 42), expect_codec=IntCodec.CONSTANT)
-    # run-heavy column
+    # run-heavy column (r5: ZSTD_BT may out-compress RLE's two int arrays
+    # by >15% on byte-width runs, clearing its decode handicap — both are
+    # sensible; the handicap arithmetic is what the assert protects)
     runs = np.repeat(rng.integers(0, 5, size=30), rng.integers(50, 200, size=30))
     c, _ = roundtrip_ints(runs)
-    assert c in (IntCodec.RLE, IntCodec.CONSTANT)
+    assert c in (IntCodec.RLE, IntCodec.CONSTANT, IntCodec.ZSTD_BT)
     # low-cardinality scattered -> dict or zebra (dict wins when range >> card)
     vals = rng.choice(np.array([10**12, -(10**14), 3, 77], dtype=np.int64), 2000)
     c, _ = roundtrip_ints(vals)
@@ -544,6 +546,63 @@ def test_probe_loss_streak_flips_cached_positive():
     finally:
         codecs._GP_PROBE_CACHE.pop(key, None)
         codecs._GP_LOSS_STREAK.pop(key, None)
+
+
+def test_zstd_bt_roundtrip_and_selection():
+    """r5 ext (int codec 9): FoR + byte-transposed planes + zstd-1.  The
+    FSE entropy stage wins where bit-packing pays the chunk width for
+    zipf-distributed values (the F1 token column: 16.00 -> 9.38 b/tok).
+    Under balanced it carries a 1.15 decode handicap; policy `speed`
+    never offers it (keeps the verify re-encode audit deterministic)."""
+    from zebra_spark.codec import codecs
+    from zebra_spark.codec.codecs import skip_ints
+
+    if not codecs._zstd_available():
+        pytest.skip("pyarrow zstd codec unavailable")
+    rng = np.random.default_rng(5)
+    zipf = np.minimum(rng.zipf(1.2, size=200_000) - 1, 50_256).astype(np.int64)
+    c, pl, m = encode_ints(zipf)
+    assert c == IntCodec.ZSTD_BT and m["codec"] == "zstd-bt"
+    out, p = decode_ints(c, pl, len(zipf))
+    assert (out == zipf).all() and p == len(pl)
+    assert skip_ints(c, pl, len(zipf)) == len(pl)
+    # must be >15% under the next-best candidate to have been selected
+    assert m["bytes"] < m["zebra_bytes"] / 1.15
+    # wire header: u8 width | i64 vmin | u32 comp_len | zstd frame
+    assert pl[0] == 2  # vocab < 2^16 -> two byte planes
+    assert int(np.frombuffer(pl[1:9], dtype="<i8")[0]) == int(zipf.min())
+    comp_len = int(np.frombuffer(pl[9:13], dtype="<u4")[0])
+    assert 13 + comp_len == len(pl)
+    # forced-candidate roundtrips across widths incl. wrap-around ranges
+    from zebra_spark.codec.codecs import _zstd_bt_build, plan_int_array
+
+    for v in (
+        rng.integers(0, 200, 5000),  # width 1
+        rng.integers(-(2**31), 2**31, 5000),  # width 4
+        rng.integers(-(2**62), 2**62, 5000),  # width 8
+        np.array([-(2**63), 2**63 - 1] * 600, dtype=np.int64),  # full span
+        np.arange(2048, dtype=np.int64) * 3 - 99,
+    ):
+        v = np.asarray(v, dtype=np.int64)
+        sz, thunk = _zstd_bt_build(v, plan_int_array(v), 10**12, hinted=True)
+        pl2 = thunk()
+        assert sz == len(pl2)
+        o, p2 = decode_ints(IntCodec.ZSTD_BT, pl2, len(v))
+        assert (o == v).all() and p2 == len(pl2)
+        assert skip_ints(IntCodec.ZSTD_BT, pl2, len(v)) == len(pl2)
+    # speed policy: never offered (deterministic probe-free re-encodes)
+    with codecs.codec_policy("speed"):
+        c3, _, _ = encode_ints(zipf)
+    assert c3 != IntCodec.ZSTD_BT
+    # hint cache: sibling block plans straight to the winner
+    key = "test.zstdbt.hint"
+    try:
+        c4, _, _ = encode_ints(zipf[:100_000], probe_key=key)
+        assert codecs._INT_HINT_CACHE[key]["winner"] == IntCodec.ZSTD_BT
+        c5, _, _ = encode_ints(zipf[100_000:], probe_key=key)
+        assert c4 == c5 == IntCodec.ZSTD_BT
+    finally:
+        codecs._INT_HINT_CACHE.pop(key, None)
 
 
 def test_pfor_sampled_feasibility_margin_keeps_boundary_cut():

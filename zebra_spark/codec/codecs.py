@@ -23,6 +23,7 @@ import os
 import numpy as np
 
 from .intcodec import (
+    _NATIVE_LE,
     _bp64_pack_group,
     _bp64_unpack_group,
     bit_length64,
@@ -61,6 +62,7 @@ class IntCodec:
     # older builds decodable (resumable run_encode_job outputs)
     DELTA = 7  # i64 first | u8 inner_codec | inner payload (n-1 deltas)
     ALP_RD = 8  # full-mantissa floats: left-bits dict + right-bits pack
+    ZSTD_BT = 9  # FoR + byte-transposed planes + zstd-1 FSE entropy stage
 
     NAMES = {
         0: "zebra",
@@ -72,6 +74,7 @@ class IntCodec:
         6: "alp",
         7: "delta",
         8: "alp-rd",
+        9: "zstd-bt",
     }
 
 
@@ -286,6 +289,24 @@ def encode_ints(
                     ),
                 )
 
+        # ZSTD_BT last: the compressed size IS its costing, so its sampled
+        # gate should compare against the tightest best-so-far.  Policy-
+        # gated off under "speed" (keeps the verify_blocks re-encode audit
+        # deterministic and probe-free) unless explicitly allowed.
+        if (
+            allowed(IntCodec.ZSTD_BT)
+            and n >= 1024
+            and (_CODEC_POLICY != "speed" or (allow is not None and IntCodec.ZSTD_BT in allow))
+        ):
+            zb = _zstd_bt_build(
+                values,
+                zplan,
+                min(s for s, _ in candidates.values()),
+                hinted=hint is not None and hint["winner"] == IntCodec.ZSTD_BT,
+            )
+            if zb is not None:
+                candidates[IntCodec.ZSTD_BT] = zb
+
     # decode-cost-aware SELECTION (payload sizes stay actual): under the
     # default balanced policy DELTA pays a 5% size handicap — its decode
     # needs an extra full cumsum pass (measured ~1.4x zebra, ~2x pfor on
@@ -336,6 +357,86 @@ def encode_ints(
 # staleness, the zebra bound never depends on it (zebra is always planned),
 # and a hinted winner that loses its own block invalidates immediately.
 _INT_HINT_CACHE: dict[str, dict] = {}
+
+# ZSTD_BT decode costs ~1.5x the PFoR path (zstd frame inflate ~280 M
+# tok/s + plane recombination), so under balanced it must be >15% smaller
+# to be selected; zipfian token streams clear it by 40%+
+_ZSTD_BT_HANDICAP = 1.15
+_ZSTD_BT_SAMPLE = 1 << 16  # values per sampled-gate probe
+
+
+def _zstd_bt_narrow(values: np.ndarray, vmin: int, vmax: int):
+    """(width, narrowed-unsigned-array) for the FoR byte planes.
+
+    The subtract wraps in int64 and is reinterpreted as uint64 — exact for
+    any (vmin, vmax) range up to the full 2^64 span (same modular argument
+    as mid64: the true delta is < 2^64, and decode re-adds vmin with the
+    same wrapping arithmetic)."""
+    rng = vmax - vmin  # exact python ints, no overflow
+    width = 1 if rng < (1 << 8) else 2 if rng < (1 << 16) else 4 if rng < (1 << 32) else 8
+    with np.errstate(over="ignore"):
+        d = np.subtract(values, vmin, dtype=_I64).view(np.uint64)
+    if width == 8:
+        narrow = d
+    else:
+        narrow = d.astype({1: np.uint8, 2: np.uint16, 4: np.uint32}[width])
+    return width, narrow
+
+
+def _zstd_bt_planes(narrow: np.ndarray, width: int) -> bytes:
+    """Byte-transpose: plane p holds byte p of every value's little-endian
+    image (normative wire, endian-independent)."""
+    if width == 1:
+        return narrow.tobytes()
+    le = narrow if _NATIVE_LE else narrow.astype(narrow.dtype.newbyteorder("<"))
+    return le.view(np.uint8).reshape(-1, width).T.copy().tobytes()
+
+
+def _zstd_bt_build(
+    values: np.ndarray, zplan, best_so_far: int, hinted: bool = False
+):
+    """FoR + byte-transpose + zstd level-1 candidate (wire id 9).
+
+    The win comes from zstd's FSE entropy stage: zipf-distributed token
+    ids carry ~9 bits of entropy but cost PFoR/BP64 the full chunk width
+    (measured on the F1 token column: 16.00 -> 9.38 bits/token, compress
+    127 M tok/s, inflate 283 M tok/s).  Level 1 is both the fastest AND
+    the smallest here — higher levels spend time finding matches that the
+    transposed planes don't have.  Byte-aligned transforms only; the
+    compressed size IS the costing, so a sampled probe skips the full
+    compress when the projection can't clear the selection bar."""
+    if not _zstd_available():
+        return None
+    import pyarrow as pa
+
+    n = len(values)
+    width, narrow = _zstd_bt_narrow(values, int(zplan.vmin), int(zplan.vmax))
+    codec = pa.Codec("zstd", compression_level=1)
+    bar = best_so_far
+    if _CODEC_POLICY != "size":
+        bar = best_so_far / _ZSTD_BT_HANDICAP
+    if not hinted and n > 2 * _ZSTD_BT_SAMPLE:
+        m = _ZSTD_BT_SAMPLE
+        sample = _zstd_bt_planes(narrow[:m], width)
+        projected = len(codec.compress(sample, asbytes=True)) / (m * width)
+        if projected * n * width + 13 >= bar:
+            return None
+    comp = codec.compress(_zstd_bt_planes(narrow, width), asbytes=True)
+    size = 13 + len(comp)
+    if size >= bar and not hinted:
+        return None
+
+    vmin = int(zplan.vmin)
+
+    def thunk(width=width, vmin=vmin, comp=comp):
+        return (
+            bytes([width])
+            + np.int64(vmin).astype("<i8").tobytes()
+            + np.uint32(len(comp)).astype("<u4").tobytes()
+            + comp
+        )
+
+    return size, thunk
 _INT_HINT_USES = 64
 
 
@@ -776,6 +877,9 @@ def skip_ints(codec: int, buf, n: int, pos: int = 0) -> int:
         r = mv[pos]
         p = pos + 6 + (-(-n // 64)) * 8 * r
         return int_array_end(int_array_end(p))
+    if codec == IntCodec.ZSTD_BT:
+        comp_len = int(np.frombuffer(mv[pos + 9 : pos + 13], dtype="<u4")[0])
+        return pos + 13 + comp_len
     raise ValueError(f"unknown int codec {codec}")
 
 
@@ -916,6 +1020,39 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
         if shift < 64:  # shift==64 <=> zero-width left (dict is all-zero)
             out = out | (left << np.uint64(shift))
         return out.view(_I64).astype(_I64, copy=False), p
+    if codec == IntCodec.ZSTD_BT:
+        import pyarrow as pa
+
+        width = int(mv[pos])
+        vmin = int(np.frombuffer(mv[pos + 1 : pos + 9], dtype="<i8")[0])
+        comp_len = int(np.frombuffer(mv[pos + 9 : pos + 13], dtype="<u4")[0])
+        raw = pa.Codec("zstd").decompress(
+            mv[pos + 13 : pos + 13 + comp_len],
+            decompressed_size=n * width,
+            asbytes=True,
+        )
+        planes = np.frombuffer(raw, dtype=np.uint8).reshape(width, n)
+        if width == 1:
+            u = planes[0]
+        else:
+            dt = {2: "<u2", 4: "<u4", 8: "<u8"}[width]
+            u = np.empty(n, dtype=dt)
+            bv = u.view(np.uint8).reshape(n, width)
+            for p_ in range(width):
+                bv[:, p_] = planes[p_]
+        if width == 8:
+            # uint64 -> int64 is a bit reinterpretation (wrapping); u is
+            # decode-owned so the in-place vmin add is safe
+            out = u.view(_I64) if _NATIVE_LE else u.astype("=u8").view(_I64)
+            if vmin:
+                with np.errstate(over="ignore"):
+                    np.add(out, vmin, out=out)
+        elif vmin:
+            # fused widen+add: one int64 pass instead of astype + iadd
+            out = np.add(u, vmin, dtype=_I64)
+        else:
+            out = u.astype(_I64)
+        return out, pos + 13 + comp_len
     raise ValueError(f"unknown int codec {codec}")
 
 
@@ -951,8 +1088,13 @@ def codec_policy(policy: str):
 
 # int-codec selection handicaps under the balanced policy: DELTA decode
 # needs an extra full cumsum pass over the output (measured ~1.4x zebra /
-# ~2x pfor on token streams), so it must win by >5% on size to be chosen
-_DECODE_HANDICAP = {IntCodec.DELTA: 1.05}
+# ~2x pfor on token streams), so it must win by >5% on size to be chosen;
+# ZSTD_BT decode pays the zstd inflate + plane recombination (~1.5x the
+# PFoR path), so it must win by >15%
+_DECODE_HANDICAP = {
+    IntCodec.DELTA: 1.05,
+    IntCodec.ZSTD_BT: _ZSTD_BT_HANDICAP,
+}
 
 # probe-gate decisions per column path: {key: (fsst_worth, uses_left)}.
 # Spark python workers are REUSED across jobs, so a key can outlive one
