@@ -383,13 +383,15 @@ def _zstd_bt_narrow(values: np.ndarray, vmin: int, vmax: int):
     return width, narrow
 
 
-def _zstd_bt_planes(narrow: np.ndarray, width: int) -> bytes:
+def _zstd_bt_planes(narrow: np.ndarray, width: int) -> np.ndarray:
     """Byte-transpose: plane p holds byte p of every value's little-endian
-    image (normative wire, endian-independent)."""
+    image (normative wire, endian-independent).  Returns a contiguous
+    uint8-viewable array — the compressor reads its buffer directly, so
+    there is no ``tobytes`` copy on the hot encode path."""
     if width == 1:
-        return narrow.tobytes()
+        return narrow
     le = narrow if _NATIVE_LE else narrow.astype(narrow.dtype.newbyteorder("<"))
-    return le.view(np.uint8).reshape(-1, width).T.copy().tobytes()
+    return le.view(np.uint8).reshape(-1, width).T.copy().reshape(-1)
 
 
 def _zstd_bt_build(
