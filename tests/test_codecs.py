@@ -605,6 +605,43 @@ def test_zstd_bt_roundtrip_and_selection():
         codecs._INT_HINT_CACHE.pop(key, None)
 
 
+def test_zstd_bt_rejects_corrupted_wire():
+    """Corrupted id-9 payloads must raise, never crash or return junk:
+    the zstd frame checks its own integrity and the declared decompressed
+    size must equal n*width."""
+    from zebra_spark.codec import codecs
+    from zebra_spark.codec.codecs import _zstd_bt_build, plan_int_array
+
+    if not codecs._zstd_available():
+        pytest.skip("pyarrow zstd codec unavailable")
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 50000, 20000)
+    _, thunk = _zstd_bt_build(v, plan_int_array(v), 10**12, hinted=True)
+    pl = bytearray(thunk())
+    # flip bytes inside the zstd frame
+    for off in (20, len(pl) // 2, len(pl) - 3):
+        bad = bytearray(pl)
+        bad[off] ^= 0xFF
+        try:
+            out, _ = decode_ints(IntCodec.ZSTD_BT, bytes(bad), len(v))
+            # an undetected flip must at least keep the contract shape
+            assert len(out) == len(v)
+        except Exception as e:
+            assert isinstance(e, (ValueError, OSError, pa_lib_error()))
+    # truncated payload
+    with pytest.raises(Exception):
+        decode_ints(IntCodec.ZSTD_BT, bytes(pl[: len(pl) // 2]), len(v))
+    # wrong n (decompressed-size mismatch)
+    with pytest.raises(Exception):
+        decode_ints(IntCodec.ZSTD_BT, bytes(pl), len(v) + 1)
+
+
+def pa_lib_error():
+    import pyarrow as pa
+
+    return pa.lib.ArrowException
+
+
 def test_pfor_sampled_feasibility_margin_keeps_boundary_cut():
     """r5 review fix: the sampled PFoR ranking allowed only ~1 sample
     element of binomial noise above the n/8 exception bar, so a genuinely
