@@ -45,6 +45,21 @@ def test_real_tables_roundtrip(spark):
         assert_df_equal(df, dec)
 
 
+def test_parquet_direct_roundtrip(spark, tmp_path):
+    """encode_parquet_direct (the split-shipping bench/job path) must
+    roundtrip and emit the same per-table totals as encode_df; splits are
+    grouped ~4 tasks/core (r5), which must not affect content."""
+    from zebra_spark.sources.parquet_direct import encode_parquet_direct
+
+    df = f1_table(spark, 2000, partitions=3, rows_per_batch=1 << 10).cache()
+    src = str(tmp_path / "f1src.parquet")
+    df.write.parquet(src)
+    blocks = encode_parquet_direct(spark, src).cache()
+    dec = decode_df(blocks, resolve_schemas=True)
+    assert_df_equal(df, dec.select(df.columns))
+    blocks.unpersist()
+
+
 def test_salted_encode_roundtrip(spark):
     df = f1_table(spark, 2000, partitions=2, rows_per_batch=1 << 10).cache()
     blocks = encode_df(df, rows_per_block=512, salt_col="source", salt_buckets=4)

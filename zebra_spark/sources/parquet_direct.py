@@ -49,8 +49,16 @@ def encode_parquet_direct(
     Returns the same blocks DataFrame as ``encode_df``.
     """
     splits = list_row_groups(path)
+    # group splits into ~4 tasks per core instead of one task per row
+    # group: each task streams several splits (the generator below already
+    # iterates its batch), so per-task scheduling overhead amortizes —
+    # measured 26 row groups on local[1]: 26 tasks cost ~2.8 s of pure
+    # scheduling against 1.8 s of compute.  4x parallelism keeps elastic
+    # balance against variable split sizes; on a large cluster
+    # splits >> 4*cores and every core still gets a steady queue.
+    n_tasks = max(1, min(len(splits), 4 * spark.sparkContext.defaultParallelism))
     sdf = spark.createDataFrame(splits, "path string, row_group int").repartition(
-        max(len(splits), 1)
+        n_tasks
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
