@@ -548,6 +548,52 @@ def test_probe_loss_streak_flips_cached_positive():
         codecs._GP_LOSS_STREAK.pop(key, None)
 
 
+def test_fsst_z_roundtrip_and_size_policy_selection():
+    """r5 ext (str codec 5): the FSST section re-entropy-coded by zstd.
+    FSST's dense byte codes still carry ~20-25% Huffman slack; the stack
+    rides the SAME decode-budget probe family as FSST, so balanced
+    behavior is unchanged while the size policy gains the full win
+    (document text: fsst 0.503 -> fsst-zstd 0.389 of zebra)."""
+    from zebra_spark.codec import codecs
+    from zebra_spark.codec.codecs import skip_strings
+
+    if not codecs._zstd_available():
+        pytest.skip("pyarrow zstd codec unavailable")
+    rng = np.random.default_rng(8)
+    words = [b"the", b"model", b"training", b"pipeline", b"compression",
+             b"tokens", b"columnar"]
+    strings = [
+        b" ".join(words[i] for i in rng.integers(0, len(words), size=60))
+        for _ in range(1500)
+    ]
+    lengths = np.array([len(s) for s in strings], dtype=np.int64)
+    concat = b"".join(strings)
+    c, pl, m = encode_strings(
+        lengths, concat, allow={StrCodec.ZEBRA, StrCodec.FSST_Z}
+    )
+    assert c == StrCodec.FSST_Z and m["codec"] == "fsst-zstd"
+    ol, ob, p = decode_strings(c, pl, len(strings))
+    assert ob == concat and (ol == lengths).all() and p == len(pl)
+    assert skip_strings(c, pl, len(strings)) == len(pl)
+    # the stack must not lose to plain FSST on compressible text
+    c2, pl2, _ = encode_strings(
+        lengths, concat, allow={StrCodec.ZEBRA, StrCodec.FSST}
+    )
+    assert c2 == StrCodec.FSST and len(pl) < len(pl2)
+    # a win by FSST_Z must not advance the shared FSST loss streak
+    key = "test.fsstz.family"
+    try:
+        codecs._FSST_PROBE_CACHE[key] = (True, 63)
+        codecs._FSST_LOSS_STREAK[key] = codecs._PROBE_LOSS_LIMIT - 1
+        c3, _, _ = encode_strings(lengths, concat, probe_key=key)
+        if c3 == StrCodec.FSST_Z:
+            assert codecs._FSST_LOSS_STREAK[key] == 0
+            assert codecs._FSST_PROBE_CACHE[key][0] is True
+    finally:
+        codecs._FSST_PROBE_CACHE.pop(key, None)
+        codecs._FSST_LOSS_STREAK.pop(key, None)
+
+
 def test_zstd_bt_roundtrip_and_selection():
     """r5 ext (int codec 9): FoR + byte-transposed planes + zstd-1.  The
     FSE entropy stage wins where bit-packing pays the chunk width for

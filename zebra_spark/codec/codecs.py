@@ -84,8 +84,16 @@ class StrCodec:
     FSST = 2  # BPE-style symbol-table compression + lengths
     ZLIB = 3  # DEFLATE concat (stdlib; r5 ext) — probe-gated like FSST
     ZSTD = 4  # zstd concat (pyarrow codec; r5 ext) — same wire frame as ZLIB
+    FSST_Z = 5  # FSST section wrapped in zstd (symbols, then entropy)
 
-    NAMES = {0: "zebra-snappy", 1: "dict", 2: "fsst", 3: "zlib", 4: "zstd"}
+    NAMES = {
+        0: "zebra-snappy",
+        1: "dict",
+        2: "fsst",
+        3: "zlib",
+        4: "zstd",
+        5: "fsst-zstd",
+    }
 
 
 def zebra_int_size(values: np.ndarray) -> int:
@@ -921,6 +929,11 @@ def skip_strings(codec: int, buf, n: int, pos: int = 0) -> int:
         p = pos + 5 + lp_len
         comp_len = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
         return p + 4 + comp_len
+    if codec == StrCodec.FSST_Z:
+        lp_len = int(np.frombuffer(mv[pos + 1 : pos + 5], dtype="<u4")[0])
+        p = pos + 5 + lp_len
+        comp_len = int(np.frombuffer(mv[p + 4 : p + 8], dtype="<u4")[0])
+        return p + 8 + comp_len
     raise ValueError(f"unknown string codec {codec}")
 
 
@@ -1314,19 +1327,47 @@ def encode_strings(
         if probe_key:
             _FSST_PROBE_CACHE[probe_key] = (decision, 63)
 
-    if allowed(StrCodec.FSST) and len(concat) >= 256 and (fsst_forced or fsst_worth):
+    fsstz_forced = allow is not None and StrCodec.FSST_Z in allow
+    if (
+        len(concat) >= 256
+        and (
+            (allowed(StrCodec.FSST) and (fsst_forced or fsst_worth))
+            or fsstz_forced
+        )
+    ):
         fs = _fsst.compress(concat)
         if fs is not None:
             lcodec, lpayload, _ = encode_ints(lengths)
-            payload = (
+            head = (
                 bytes([lcodec])
                 + np.uint32(len(lpayload)).astype("<u4").tobytes()
                 + lpayload
-                + fs
             )
-            candidates[StrCodec.FSST] = len(payload)
-            if len(payload) < len(best[1]):
-                best = (StrCodec.FSST, payload)
+            if allowed(StrCodec.FSST):
+                payload = head + fs
+                candidates[StrCodec.FSST] = len(payload)
+                if len(payload) < len(best[1]):
+                    best = (StrCodec.FSST, payload)
+            # FSST_Z: the FSST section re-entropy-coded by zstd (FSST's
+            # codes are dense byte symbols that a Huffman/FSE stage still
+            # shrinks ~20-25%; the symbol pass already paid the slow
+            # training, the zstd pass on the ~0.18x output is near-free).
+            # Measured on document text: fsst 0.177 -> fsst+zstd 0.136-0.140
+            # of raw.  Decode adds one fast inflate before the (already
+            # budget-gated) symbol expansion, so the candidate rides the
+            # SAME probe/streak family as FSST.
+            if allowed(StrCodec.FSST_Z) and _zstd_available():
+                lvl = 12 if _CODEC_POLICY == "size" else 1
+                comp = _gp_compress(fs, StrCodec.ZSTD, lvl)
+                payload = (
+                    head
+                    + np.uint32(len(fs)).astype("<u4").tobytes()
+                    + np.uint32(len(comp)).astype("<u4").tobytes()
+                    + comp
+                )
+                candidates[StrCodec.FSST_Z] = len(payload)
+                if len(payload) < len(best[1]):
+                    best = (StrCodec.FSST_Z, payload)
 
     # general-purpose-compressor candidate: zstd when pyarrow has it, else
     # DEFLATE; probe-gated exactly like FSST (its own cache + decode
@@ -1383,13 +1424,15 @@ def encode_strings(
 
     codec, payload = best
     if probe_key:
-        for cid, cache, streak in (
-            (StrCodec.FSST, _FSST_PROBE_CACHE, _FSST_LOSS_STREAK),
-            (gp_id, _GP_PROBE_CACHE, _GP_LOSS_STREAK),
+        # FSST and FSST_Z are one probe family: a win by either resets
+        # the streak (FSST_Z winning must not flip the shared cache off)
+        for cids, cache, streak in (
+            ((StrCodec.FSST, StrCodec.FSST_Z), _FSST_PROBE_CACHE, _FSST_LOSS_STREAK),
+            ((gp_id,), _GP_PROBE_CACHE, _GP_LOSS_STREAK),
         ):
-            if cid not in candidates:
+            if not any(c in candidates for c in cids):
                 continue
-            if codec == cid:
+            if codec in cids:
                 streak[probe_key] = 0
             else:
                 s = streak.get(probe_key, 0) + 1
@@ -1485,6 +1528,23 @@ def decode_strings(codec: int, buf, n: int, pos: int = 0):
         if int(lengths.sum()) != len(concat):
             raise ValueError("FSST lengths do not sum to byte count")
         return lengths, concat, p
+    if codec == StrCodec.FSST_Z:
+        lcodec = mv[pos]
+        lp_len = int(np.frombuffer(mv[pos + 1 : pos + 5], dtype="<u4")[0])
+        lengths, p = decode_ints(lcodec, mv, n, pos + 5)
+        if p != pos + 5 + lp_len:
+            raise ValueError("FSST_Z length-section size mismatch")
+        raw_len = int(np.frombuffer(mv[p : p + 4], dtype="<u4")[0])
+        comp_len = int(np.frombuffer(mv[p + 4 : p + 8], dtype="<u4")[0])
+        fs = _gp_decompress(
+            mv[p + 8 : p + 8 + comp_len], StrCodec.ZSTD, raw_len
+        )
+        concat, used = _fsst.decompress(memoryview(fs), 0)
+        if used != raw_len:
+            raise ValueError("FSST_Z inner section size mismatch")
+        if int(lengths.sum()) != len(concat):
+            raise ValueError("FSST_Z lengths do not sum to byte count")
+        return lengths, concat, p + 8 + comp_len
     if codec in (StrCodec.ZLIB, StrCodec.ZSTD):
         name = StrCodec.NAMES[codec].upper()
         lcodec = mv[pos]
