@@ -2,9 +2,10 @@
 
 Image/audio/video payloads are ``binary`` columns with a metadata struct;
 the Spark-side plumbing — schema, batching, partitioning, Arrow transfer,
-UDF signatures — is real and tested.  Two containers decode for REAL:
-binary PPM / P6 (a public uncompressed format, parsed with numpy alone —
-see :func:`_parse_ppm_header` / :func:`ppm_image`) and the deterministic
+UDF signatures — is real and tested.  Three containers decode for REAL:
+binary PPM / P6 and 24-bit uncompressed BMP (both public formats, parsed
+with numpy alone — see :func:`_parse_ppm_header` / :func:`ppm_image` /
+:func:`_parse_bmp_header` / :func:`bmp_image`) and the deterministic
 fake produced by :func:`fake_image` (encodes (height, width, channels) +
 a seed so feature extraction / resizing are exactly testable).  Compressed
 formats (JPEG/PNG/...) need an image library not present in this
@@ -96,14 +97,71 @@ def ppm_image(img: np.ndarray) -> bytes:
     ).tobytes()
 
 
+def bmp_image(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, BI_RGB): bottom-up rows, BGR pixel order, each row
+    padded to a 4-byte boundary — the public Windows DIB layout."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("24-bit BMP carries exactly 3 channels")
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up + RGB -> BGR
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    off = 14 + 40
+    head = (
+        b"BM"
+        + np.uint32(off + h * stride).astype("<u4").tobytes()  # file size
+        + b"\x00\x00\x00\x00"  # reserved
+        + np.uint32(off).astype("<u4").tobytes()  # pixel-array offset
+        + np.array([40, w, h], dtype="<i4").tobytes()  # DIB size, w, h
+        + np.array([1, 24], dtype="<u2").tobytes()  # planes, bpp
+        + np.array([0, h * stride, 2835, 2835, 0, 0], dtype="<u4").tobytes()
+    )
+    return head + body.tobytes()
+
+
+def _parse_bmp_header(head: bytes):
+    """(h, w, stride, body_offset, top_down) for a 24-bit BI_RGB BMP, or
+    None when the payload is some other BMP flavor."""
+    if len(head) < 54 or head[:2] != b"BM":
+        return None
+    off = int(np.frombuffer(head[10:14], dtype="<u4")[0])
+    dib = int(np.frombuffer(head[14:18], dtype="<u4")[0])
+    if dib < 40:
+        return None  # BITMAPCOREHEADER and smaller: out of scope
+    w = int(np.frombuffer(head[18:22], dtype="<i4")[0])
+    h = int(np.frombuffer(head[22:26], dtype="<i4")[0])
+    bpp = int(np.frombuffer(head[28:30], dtype="<u2")[0])
+    comp = int(np.frombuffer(head[30:34], dtype="<u4")[0])
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    return abs(h), w, (w * 3 + 3) & ~3, off, top_down
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a payload to an (h, w, c) uint8 array.
 
-    Two containers decode for real: binary PPM / P6 (a public uncompressed
-    format, parsed with numpy alone) and the deterministic ZSIM fake.
-    Compressed formats (JPEG/PNG/...) need an image library not present in
-    this container — STUB: raises NotImplementedError for them.
+    Three containers decode for real: binary PPM / P6 and 24-bit
+    uncompressed BMP (both public formats, parsed with numpy alone) and
+    the deterministic ZSIM fake.  Compressed formats (JPEG/PNG/...) need
+    an image library not present in this container — STUB: raises
+    NotImplementedError for them.
     """
+    if payload[:2] == b"BM":
+        parsed = _parse_bmp_header(payload[:64])
+        if parsed is None:
+            raise NotImplementedError(
+                "only 24-bit uncompressed (BI_RGB) BMPs decode here"
+            )
+        h, w, stride, off, top_down = parsed
+        body = np.frombuffer(payload, dtype=np.uint8, offset=off)
+        if len(body) < h * stride:
+            raise ValueError("BMP payload shorter than height*stride")
+        rows = body[: h * stride].reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return img if top_down else img[::-1]
     if payload[:2] == b"P6":
         parsed = _parse_ppm_header(payload[:256])
         if parsed is None:
@@ -222,7 +280,8 @@ def _binary_view(arr: pa.Array):
 
 
 def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
-    """Nearest-neighbour resize of decodable images (PPM/P6 + fake format).
+    """Nearest-neighbour resize of decodable images (PPM/P6, 24-bit BMP +
+    fake format); output is normalized to P6 for the real formats.
 
     Vectorized over the whole Arrow batch — no per-row ``.as_py()``:
     headers parse as one fancy-index gather off the flat payload buffer,
@@ -279,11 +338,35 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     body_off[i] = off
                     is_ppm[i] = True
 
+            # 24-bit BI_RGB BMP rows: same header-only per-row parse; the
+            # strided/bottom-up/BGR layout folds into the grouped gather's
+            # index arithmetic below (resized output is normalized to PPM)
+            is_bmp = np.zeros(n, dtype=bool)
+            bmp_td = np.zeros(n, dtype=bool)
+            bmp_rows = np.flatnonzero(
+                ~is_null & ~fake_dec & ~is_ppm & (lengths >= 54)
+            )
+            if len(bmp_rows):
+                h0 = data[starts[bmp_rows]] == ord("B")
+                h1 = data[starts[bmp_rows] + 1] == ord("M")
+                bmp_rows = bmp_rows[h0 & h1]
+            for i in bmp_rows:
+                head = data[starts[i] : starts[i] + min(int(lengths[i]), 64)]
+                parsed = _parse_bmp_header(head.tobytes())
+                if parsed is None:
+                    continue
+                h, w, stride, off, top_down = parsed
+                if lengths[i] - off >= h * stride:
+                    hwcs[i] = (h, w, 3, 0)
+                    body_off[i] = off
+                    is_bmp[i] = True
+                    bmp_td[i] = top_down
+
             ppm_hdr = np.frombuffer(
                 b"P6\n%d %d\n255\n" % (out_w, out_h), dtype=np.uint8
             )
-            decodable = fake_dec | is_ppm
-            out_hdr_len = np.where(is_ppm, len(ppm_hdr), 20)
+            decodable = fake_dec | is_ppm | is_bmp
+            out_hdr_len = np.where(is_ppm | is_bmp, len(ppm_hdr), 20)
             out_len = np.where(
                 decodable, out_hdr_len + out_h * out_w * hwcs[:, 2], 0
             ).astype(np.int64)
@@ -310,13 +393,13 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     .view(np.uint8)
                 )
                 out_flat[out_offs[fake_rows, None] + np.arange(20)] = hdr
-            ppm_out = np.flatnonzero(is_ppm)
+            ppm_out = np.flatnonzero(is_ppm | is_bmp)
             if len(ppm_out):
                 out_flat[
                     out_offs[ppm_out, None] + np.arange(len(ppm_hdr))
                 ] = ppm_hdr
 
-            full = is_ppm | (
+            full = is_ppm | is_bmp | (
                 fake_dec
                 & (lengths - 20 == hwcs[:, 0] * hwcs[:, 1] * hwcs[:, 2])
             )
@@ -325,17 +408,35 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
             out_body = out_offs[:-1] + out_hdr_len
             for shape in np.unique(hwcs[full][:, :3], axis=0) if full.any() else []:
                 h, w, c = (int(x) for x in shape)
-                grp = np.flatnonzero(full & (hwcs[:, :3] == shape).all(axis=1))
+                in_shape = full & (hwcs[:, :3] == shape).all(axis=1)
                 ys = np.arange(out_h) * h // out_h
                 xs = np.arange(out_w) * w // out_w
-                idx_map = (
+                stride = (w * 3 + 3) & ~3
+                # (variant mask, per-(y,x,ch) source index map): contiguous
+                # RGB for fake/PPM; strided BGR rows, bottom-up or
+                # top-down, for BMP — same one-gather shape either way
+                contig = (
                     (ys[:, None] * w + xs[None, :]).reshape(-1)[:, None] * c
                     + np.arange(c)
                 ).reshape(-1)
-                resized = data[body_starts[grp, None] + idx_map]
-                out_flat[
-                    out_body[grp, None] + np.arange(len(idx_map))
-                ] = resized
+                bmp_map = lambda rows_src: (
+                    (rows_src[:, None] * stride + xs[None, :] * 3).reshape(
+                        -1
+                    )[:, None]
+                    + np.array([2, 1, 0])
+                ).reshape(-1)
+                for mask, idx_map in (
+                    (in_shape & ~is_bmp, contig),
+                    (in_shape & is_bmp & ~bmp_td, bmp_map(h - 1 - ys)),
+                    (in_shape & is_bmp & bmp_td, bmp_map(ys)),
+                ):
+                    grp = np.flatnonzero(mask)
+                    if not len(grp):
+                        continue
+                    resized = data[body_starts[grp, None] + idx_map]
+                    out_flat[
+                        out_body[grp, None] + np.arange(len(idx_map))
+                    ] = resized
             for i in trunc_rows:  # test-fixture path: rng per seed
                 img = decode_image(
                     data[starts[i] : starts[i] + lengths[i]].tobytes()
