@@ -548,6 +548,27 @@ def test_probe_loss_streak_flips_cached_positive():
         codecs._GP_LOSS_STREAK.pop(key, None)
 
 
+def test_f1_token_column_compression_pin():
+    """Drift guard for the round-5 headline: the F1 token column must
+    keep selecting ZSTD_BT and land well under zebra (measured 9.38 vs
+    16.13 b/tok = 0.58; the pin leaves slack for data-generation and
+    library drift but catches a selector regression immediately)."""
+    from zebra_spark.codec import codecs
+    from zebra_spark.sources.synth import f1_batch
+
+    if not codecs._zstd_available():
+        pytest.skip("pyarrow zstd codec unavailable")
+    b = f1_batch(3000, seed=42)
+    flat = np.ascontiguousarray(
+        b.column("tokens").flatten().to_numpy(), dtype=np.int64
+    )
+    c, pl, m = encode_ints(flat)
+    assert c == IntCodec.ZSTD_BT
+    assert m["bytes"] < 0.65 * m["zebra_bytes"]
+    out, p = decode_ints(c, pl, len(flat))
+    assert (out == flat).all() and p == len(pl)
+
+
 def test_fsst_z_roundtrip_and_size_policy_selection():
     """r5 ext (str codec 5): the FSST section re-entropy-coded by zstd.
     FSST's dense byte codes still carry ~20-25% Huffman slack; the stack
