@@ -138,6 +138,31 @@ def test_fsst_escape_run_parsing():
         assert out == data
 
 
+def test_fsst_symbol_length_capped_at_u8():
+    """Regression (r5): highly repetitive text let byte-pair merges double
+    a symbol past 255 bytes, overflowing the wire's u8 symbol length and
+    crashing compress.  The trainer now merges the most frequent pair
+    whose expansion still fits."""
+    reps = [(("the model pipeline compression token %d " % (i % 7)) * 12)
+            .encode() for i in range(500)]
+    data = b"".join(reps)
+    sec = fsst.compress(data)
+    if sec is not None:
+        out, pos = fsst.decompress(sec)
+        assert out == data and pos == len(sec)
+    # and through the string selector under the size policy (the path
+    # that crashed: the FSST probe on a 64 KB sample of this text)
+    from zebra_spark.codec import codecs
+
+    lengths = np.array([len(s) for s in reps], dtype=np.int64)
+    with codecs.codec_policy("size"):
+        c, pl, _ = encode_strings(lengths, data, probe_key="t.fsst.cap")
+    ol, ob, _ = decode_strings(c, pl, len(reps))
+    assert ob == data
+    codecs._FSST_PROBE_CACHE.pop("t.fsst.cap", None)
+    codecs._GP_PROBE_CACHE.pop("t.fsst.cap", None)
+
+
 def test_fsst_incompressible_returns_none_or_roundtrips():
     data = np.random.default_rng(5).bytes(4096)
     sec = fsst.compress(data)

@@ -42,7 +42,19 @@ def main():
     ap.add_argument("--salt-buckets", type=int, default=0)
     ap.add_argument("--unit-cols", default=None, help="comma list; default: all columns")
     ap.add_argument("--master", default=None, help="override master (default: cluster/local env)")
+    ap.add_argument(
+        "--policy",
+        choices=["balanced", "size", "speed"],
+        default=None,
+        help="codec policy (default: ZS_CODEC_POLICY env or balanced)",
+    )
     args = ap.parse_args()
+    if args.policy:
+        # before the session: workers read the policy at codec import
+        os.environ["ZS_CODEC_POLICY"] = args.policy
+        from zebra_spark.codec import codecs as _codecs
+
+        _codecs._CODEC_POLICY = args.policy
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -56,6 +68,12 @@ def main():
     builder = SparkSession.builder.appName("zebra-spark-encode")
     if args.master:
         builder = builder.master(args.master)
+    if args.policy:
+        # local mode inherits the env set above; on a real cluster the
+        # executors get it via executorEnv
+        builder = builder.config(
+            "spark.executorEnv.ZS_CODEC_POLICY", args.policy
+        )
     spark = builder.getOrCreate()
 
     from zebra_spark.sources.iceberg import read_input

@@ -441,6 +441,14 @@ def cmd_zread(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="zs", description=__doc__)
     ap.add_argument("--master", default="local[4]")
+    ap.add_argument(
+        "--policy",
+        choices=["balanced", "size", "speed"],
+        default=None,
+        help="codec policy for encodes (default: ZS_CODEC_POLICY env or "
+        "balanced; `size` = cold-archive max compression, `speed` = "
+        "decode-fastest, no probe-gated codecs)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser(
@@ -541,6 +549,13 @@ def main(argv=None):
     p.set_defaults(fn=cmd_zread)
 
     args = ap.parse_args(argv)
+    if args.policy:
+        # must land in the env BEFORE any Spark session / python worker
+        # spawns — the policy is read at codec-module import in workers
+        os.environ["ZS_CODEC_POLICY"] = args.policy
+        from zebra_spark.codec import codecs as _codecs
+
+        _codecs._CODEC_POLICY = args.policy  # driver-side encodes too
     args.fn(args)
 
 

@@ -53,11 +53,21 @@ def _train(sample: np.ndarray):
         if len(keys) == 0:
             break
         uniq, counts = np.unique(keys, return_counts=True)
-        bi = int(np.argmax(counts))
-        if counts[bi] < _MIN_PAIR_COUNT:
+        # most frequent pair whose combined expansion still fits the wire's
+        # u8 symbol length (highly repetitive text can otherwise double a
+        # symbol past 255 bytes); bounded scan — if the top candidates are
+        # all oversized, further merges would be too
+        x = y = None
+        for bi in np.argsort(-counts, kind="stable")[:32]:
+            if counts[bi] < _MIN_PAIR_COUNT:
+                break
+            key = int(uniq[bi])
+            cx, cy = key // 1024, key % 1024
+            if len(expansions[cx]) + len(expansions[cy]) <= 255:
+                x, y = cx, cy
+                break
+        if x is None:
             break
-        key = int(uniq[bi])
-        x, y = key // 1024, key % 1024
         match = (a[:-1] == x) & (a[1:] == y)
         idx = np.flatnonzero(match)
         a[idx] = next_id
