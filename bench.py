@@ -299,7 +299,9 @@ MIN_PROBE_CPU_EFF = float(os.environ.get("ZS_PROBE_MIN_CPU_EFF", "0.7"))
 
 def engine_probe_run():
     """Spark-free multiprocessing scaling probe (tools/mp_scaling.py) on
-    the scaling input.  Reports wall AND CPU-second efficiency: process
+    its own short F1_PROBE_PATH input (ZS_BENCH_PROBE_ROWS, independent
+    of the Spark sweep's SCALING_ROWS).  Reports wall AND CPU-second
+    efficiency: process
     CPU time excludes host steal, so cpu_second_efficiency measures the
     engine's own coordination overhead independently of the sandbox's
     time-varying core grant — the wall ratio structurally cannot once

@@ -214,6 +214,12 @@ def test_bmp_golden_decode_and_roundtrip():
         decode_image(bytes(bad_bpp))
     with pytest.raises(ValueError):
         decode_image(payload[:-4])  # short body
+    # corrupt pixel-array offset pointing into the headers must refuse,
+    # not decode header bytes as pixels
+    bad_off = bytearray(payload)
+    bad_off[10:14] = (0).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad_off))
 
 
 def test_resize_images_bmp(spark):

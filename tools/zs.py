@@ -37,7 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _spark(args):
     from zebra_spark.session import get_spark
 
-    return get_spark(master=args.master, app_name=f"zs-{args.cmd}")
+    # --policy must reach executor python workers too: local mode inherits
+    # the driver env, real clusters need executorEnv (same as
+    # run_encode_job.py)
+    extra = (
+        {"spark.executorEnv.ZS_CODEC_POLICY": args.policy}
+        if getattr(args, "policy", None)
+        else None
+    )
+    return get_spark(
+        master=args.master, app_name=f"zs-{args.cmd}", extra_conf=extra
+    )
 
 
 def _read_blocks(spark, path):

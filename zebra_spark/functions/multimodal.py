@@ -97,6 +97,11 @@ def ppm_image(img: np.ndarray) -> bytes:
     ).tobytes()
 
 
+def _bmp_stride(w: int) -> int:
+    """Bytes per 24-bit BMP row: 3 per pixel, padded to 4-byte boundary."""
+    return (w * 3 + 3) & ~3
+
+
 def bmp_image(img: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 array as a 24-bit uncompressed BMP
     (BITMAPINFOHEADER, BI_RGB): bottom-up rows, BGR pixel order, each row
@@ -104,7 +109,7 @@ def bmp_image(img: np.ndarray) -> bytes:
     h, w, c = img.shape
     if c != 3:
         raise ValueError("24-bit BMP carries exactly 3 channels")
-    stride = (w * 3 + 3) & ~3
+    stride = _bmp_stride(w)
     body = np.zeros((h, stride), dtype=np.uint8)
     # bottom-up + RGB -> BGR
     body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
@@ -136,8 +141,10 @@ def _parse_bmp_header(head: bytes):
     comp = int(np.frombuffer(head[30:34], dtype="<u4")[0])
     if bpp != 24 or comp != 0 or w <= 0 or h == 0:
         return None
+    if off < 14 + dib:
+        return None  # pixel array cannot overlap the headers — corrupt
     top_down = h < 0
-    return abs(h), w, (w * 3 + 3) & ~3, off, top_down
+    return abs(h), w, _bmp_stride(w), off, top_down
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -411,11 +418,12 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                 in_shape = full & (hwcs[:, :3] == shape).all(axis=1)
                 ys = np.arange(out_h) * h // out_h
                 xs = np.arange(out_w) * w // out_w
-                stride = (w * 3 + 3) & ~3
-                # (variant mask, per-(y,x,ch) source index map): contiguous
-                # RGB for fake/PPM; strided BGR rows, bottom-up or
-                # top-down, for BMP — same one-gather shape either way
-                contig = (
+                stride = _bmp_stride(w)
+                # (variant mask, per-(y,x,ch) source index map THUNK —
+                # only built for variants that have rows): contiguous RGB
+                # for fake/PPM; strided BGR rows, bottom-up or top-down,
+                # for BMP — same one-gather shape either way
+                contig = lambda: (
                     (ys[:, None] * w + xs[None, :]).reshape(-1)[:, None] * c
                     + np.arange(c)
                 ).reshape(-1)
@@ -425,14 +433,15 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     )[:, None]
                     + np.array([2, 1, 0])
                 ).reshape(-1)
-                for mask, idx_map in (
+                for mask, mk_idx in (
                     (in_shape & ~is_bmp, contig),
-                    (in_shape & is_bmp & ~bmp_td, bmp_map(h - 1 - ys)),
-                    (in_shape & is_bmp & bmp_td, bmp_map(ys)),
+                    (in_shape & is_bmp & ~bmp_td, lambda: bmp_map(h - 1 - ys)),
+                    (in_shape & is_bmp & bmp_td, lambda: bmp_map(ys)),
                 ):
                     grp = np.flatnonzero(mask)
                     if not len(grp):
                         continue
+                    idx_map = mk_idx()
                     resized = data[body_starts[grp, None] + idx_map]
                     out_flat[
                         out_body[grp, None] + np.arange(len(idx_map))
