@@ -698,13 +698,41 @@ def _q_salted_encode_roundtrip(spark, sf_dir):
 
 def _q_projection_pushdown(spark, sf_dir):
     """Block-level column pruning: a 2-column read skips the other block
-    sections without decompression (File.hs streaming-read analogue)."""
+    sections without decompression (File.hs streaming-read analogue).
+    Retired driver slot (subsumed by projection_and_range_pushdown); kept
+    for bench/explain fallback."""
     from zebra_spark.operators.decode import decode_df
     from zebra_spark.operators.encode import encode_df
 
     docs = _load(spark, sf_dir, "documents")
     blocks = encode_df(docs, rows_per_block=1 << 16)
     return decode_df(blocks, schema=docs.schema, columns=["doc_id", "lang"])
+
+
+def _q_projection_and_range_pushdown(spark, sf_dir):
+    """The 100 TB read path in one plan: block-level column pruning AND
+    zone-map block skipping.  Rows are range-laid-out on doc_id, encoded
+    with key_col zone maps (the min/max key discipline of the reference's
+    Summary.hs:64-100 / Consistency.hs:77-125), then a 2-column read over
+    doc_id in [100, 299] (a) skips non-intersecting blocks entirely before
+    the decode UDF (zone_map_filter on two slim string columns) and
+    (b) skips the text/source/n_chars sections of surviving blocks without
+    decompression.  The residual row predicate after decode makes the
+    result exact (zone maps are block-granular)."""
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+
+    docs = _load(spark, sf_dir, "documents").orderBy("doc_id")
+    blocks = encode_df(
+        docs, rows_per_block=64, key_col="doc_id"
+    ).localCheckpoint()
+    out = decode_df(
+        blocks,
+        schema=docs.schema,
+        columns=["doc_id", "lang"],
+        key_range=(100, 299),
+    )
+    return out.filter(F.col("doc_id").between(100, 299))
 
 
 def _q_ztxt_roundtrip(spark, sf_dir):
@@ -1307,7 +1335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # the V2 chain, the r4 verdict's only coverage gap
             "v2_upgrade_roundtrip": _q_v2_upgrade_roundtrip,
             "grouped_encode_roundtrip": _q_grouped_encode_roundtrip,
-            "projection_pushdown": _q_projection_pushdown,
+            # r6: projection_pushdown extended with zone-map block
+            # skipping (key_range) per the r5 verdict; the plain-projection
+            # plan is a strict subset, _q_projection_pushdown retained
+            "projection_and_range_pushdown": _q_projection_and_range_pushdown,
             "ztxt_roundtrip": _q_ztxt_roundtrip,
             "zebra_file_roundtrip": _q_zebra_file_roundtrip,
             "zfile_map_table": _q_zfile_map_table,
@@ -1477,7 +1508,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT k, 'c' || CAST(k AS VARCHAR), 'tag', k, 1, 0, NULL, seg "
             "FROM base"
         ),
-        "projection_pushdown": "SELECT doc_id, lang FROM documents",
+        "projection_and_range_pushdown": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id BETWEEN 100 AND 299"
+        ),
         "ztxt_roundtrip": (
             "SELECT doc_id, lang, "
             "CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS opt_tag, "

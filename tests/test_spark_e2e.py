@@ -163,3 +163,61 @@ def test_salting_spreads_skewed_source(spark):
     assert n_plain == 1  # all of 'web' lands in a single partition
     assert n_salted >= 4  # salt spreads the hot key
     assert max_salted < max_plain / 2
+
+
+def test_zone_map_block_skipping(spark):
+    """decode_df(key_range=...) must skip blocks whose zone maps miss the
+    range (fewer blocks decoded than stored) while still returning every
+    in-range row exactly; blocks encoded without a key_col (NULL zone
+    maps) are never skipped."""
+    from zebra_spark.operators.decode import zone_map_filter
+
+    df = (
+        f1_table(spark, 2000, partitions=4, rows_per_batch=256)
+        .select("doc_id", "n_tok", "source")
+        .withColumn("k", F.abs(F.xxhash64("doc_id")) % 100000)
+        .orderBy("k")
+        .cache()
+    )
+    blocks = encode_df(df, rows_per_block=128, key_col="k").localCheckpoint()
+    total = blocks.count()
+    lo, hi = 20000, 30000
+    kept = zone_map_filter(blocks, (lo, hi)).count()
+    assert 0 < kept < total  # blocks actually skipped
+
+    got = (
+        decode_df(blocks, schema=df.schema, key_range=(lo, hi))
+        .filter(F.col("k").between(lo, hi))
+        .cache()
+    )
+    want = df.filter(F.col("k").between(lo, hi))
+    assert_df_equal(want, got)
+
+    # surviving blocks only: rows decoded < rows stored
+    n_decoded = decode_df(blocks, schema=df.schema, key_range=(lo, hi)).count()
+    assert want.count() <= n_decoded < df.count()
+
+    # open-ended bounds
+    upper = decode_df(blocks, schema=df.schema, key_range=(None, hi))
+    assert upper.filter(F.col("k") <= hi).count() == df.filter(F.col("k") <= hi).count()
+
+    # no key_col at encode -> NULL zone maps -> nothing is skipped
+    nokey = encode_df(df, rows_per_block=128).localCheckpoint()
+    assert zone_map_filter(nokey, (lo, hi)).count() == nokey.count()
+
+
+def test_zone_map_string_keys(spark):
+    """Zone maps work for string keys via the natural string order."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "source")
+        .orderBy("source")
+        .cache()
+    )
+    blocks = encode_df(df, rows_per_block=64, key_col="source").localCheckpoint()
+    got = (
+        decode_df(blocks, schema=df.schema, key_range=("code", "code"))
+        .filter(F.col("source") == "code")
+    )
+    want = df.filter(F.col("source") == "code")
+    assert_df_equal(want, got)

@@ -107,6 +107,34 @@ def arrow_schema_of(blocks: DataFrame) -> pa.Schema:
     return pa.ipc.read_schema(pa.py_buffer(row[0]))
 
 
+def zone_map_filter(blocks: DataFrame, key_range) -> DataFrame:
+    """Block-skipping predicate over the per-block zone maps.
+
+    Keeps exactly the blocks whose [key_min, key_max] interval intersects
+    ``key_range = (lo, hi)`` (either bound may be None = unbounded), plus
+    blocks encoded WITHOUT a key_col (NULL zone maps — nothing is known
+    about them, so they cannot be skipped).  Bounds are compared in the
+    order-preserving string form encode._key_str writes, so the same call
+    works for int and string keys.
+
+    This is the natural extension of the reference's min/max key
+    discipline (zebra tracks exactly these bounds for Summary.hs:64-100 /
+    Consistency.hs:77-125); at 100 TB a keyed point/range read must skip
+    block payloads BEFORE the decode UDF ever sees them — the filter runs
+    JVM-side on two slim string columns and parquet-prunes when the blocks
+    table is stored.
+    """
+    from .encode import _key_str
+
+    lo, hi = key_range
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col("key_max") >= F.lit(_key_str(lo)))
+    if hi is not None:
+        cond = cond & (F.col("key_min") <= F.lit(_key_str(hi)))
+    return blocks.filter(F.col("key_min").isNull() | cond)
+
+
 def decode_df(
     blocks: DataFrame,
     schema=None,
@@ -114,6 +142,7 @@ def decode_df(
     columns: list[str] | None = None,
     validate_maps: bool = False,
     resolve_schemas: bool = False,
+    key_range=None,
 ) -> DataFrame:
     """Decode a blocks DataFrame back to the original rows.
 
@@ -136,7 +165,18 @@ def decode_df(
     ``validate_maps``: enforce zebra's sorted/dup-free Map invariant on
     decode (Striped.hs:572-591); opt-in because Spark map columns carry no
     ordering invariant.
+
+    ``key_range``: ``(lo, hi)`` zone-map block skipping (either bound may
+    be None).  Blocks whose key_min/key_max interval misses the range are
+    dropped BEFORE the decode UDF — whole payloads skipped without
+    decompression.  Zone maps are block-granular: surviving blocks may
+    still contain out-of-range rows, so apply the exact row predicate
+    after decode.  Forces ``resolve_schemas`` (the filter may drop the
+    schema-bearing row of a task), so the blocks should be materialized,
+    not a lazily chained encode.
     """
+    if key_range is not None:
+        resolve_schemas = True
     if schema is None:
         schema = arrow_schema_of(blocks)
     if isinstance(schema, pa.Schema):
@@ -151,6 +191,9 @@ def decode_df(
             )
         schema = type(schema)([f for f in schema.fields if f.name in set(columns)])
     smap = schema_map_of(blocks) if resolve_schemas else None
+    if key_range is not None:
+        # filter AFTER the schema map is built from the unfiltered blocks
+        blocks = zone_map_filter(blocks, key_range)
     return blocks.mapInArrow(
         _decode_fn(verify_crc, columns, validate_maps, smap), schema=schema
     )
