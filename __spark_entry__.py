@@ -346,28 +346,72 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing: documents' bytes as opaque media payloads ->
-    byte-histogram features, hash-verified against a DuckDB byte-level
-    oracle via the exact integer histogram (media decode itself is stubbed)."""
-    from zebra_spark.functions.multimodal import extract_features
+    """REAL-format multimodal path, driver-verified end to end: for every
+    document a deterministic binary PPM (P6) payload is BUILT in-query —
+    ``h = 4 + k%5``, ``w = 6 + k%7``, ``pixel[i] = (k*7 + i*13) % 256``
+    over the flattened (h, w, 3) image, framed by multimodal.ppm_image —
+    then run through BOTH the batched byte-feature extractor
+    (extract_features: n_bytes over the actual P6 bytes) and the real P6
+    decode branch (decode_image via image_stats: dimensions + exact
+    per-channel pixel sums).  All outputs are integers whose arithmetic
+    the DuckDB oracle reproduces from the same seed formula, so a green
+    row certifies the P6 header grammar, the body offset, and the pixel
+    layout — not just plumbing."""
+    from zebra_spark.functions.multimodal import (
+        MEDIA_DDL,
+        extract_features,
+        image_stats,
+    )
 
-    media = _load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("text-bytes").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit(None)
-        .cast("struct<height:int,width:int,channels:int,duration_ms:int>")
-        .alias("meta"),
-    )
-    feats = extract_features(media)
-    return feats.select(
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from zebra_spark.functions.multimodal import ppm_image
+
+        for rb in batches:
+            ks = rb.column("doc_id").to_numpy(zero_copy_only=False)
+            payloads = []
+            for k in ks:
+                k = int(k)
+                h, w = 4 + k % 5, 6 + k % 7
+                i = np.arange(h * w * 3, dtype=np.int64)
+                img = ((k * 7 + i * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(ppm_image(img))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([str(int(k)) for k in ks]),
+                    pa.array(["image/ppm"] * len(ks)),
+                    pa.array(payloads, type=pa.binary()),
+                    pa.nulls(
+                        len(ks),
+                        pa.struct(
+                            [
+                                ("height", pa.int32()),
+                                ("width", pa.int32()),
+                                ("channels", pa.int32()),
+                                ("duration_ms", pa.int32()),
+                            ]
+                        ),
+                    ),
+                ],
+                names=["media_id", "kind", "payload", "meta"],
+            )
+
+    media = docs.mapInArrow(gen, schema=MEDIA_DDL)
+    feats = extract_features(media).select("media_id", "n_bytes")
+    stats = image_stats(media).select(
         "media_id",
-        "kind",
-        "n_bytes",
-        F.md5(
-            F.concat_ws(",", F.transform("hist", lambda x: x.cast("string")))
-        ).alias("hist_digest"),
+        "height",
+        "width",
+        "channels",
+        F.col("channel_sums")[0].alias("sum_c0"),
+        F.col("channel_sums")[1].alias("sum_c1"),
+        F.col("channel_sums")[2].alias("sum_c2"),
     )
+    return feats.join(stats, "media_id")
 
 
 def _q_roundtrip_synthetic_tokens(spark, sf_dir):
@@ -902,13 +946,16 @@ def _q_zfile_binary_table(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _synth_v2_file(path: str, rows, attr_id: int, block_entities: int = 512):
+def _synth_v2_file(path: str, rows, block_entities: int = 512):
     """Hand-assemble a real ``||ZEBRA||00002||`` factset file from the wire
-    spec (Serial/Binary/Block.hs:133-423) carrying ONE attribute's facts —
-    the deterministic fixture for the v2_upgrade_roundtrip driver query.
-    ``rows`` = [(hash, entity_id, [(time, fsid, tombstone, value), ...])]
-    sorted by hash; attr 0 = int facts, attr 1 = binary facts.  The header
-    declares BOTH attributes (files of one read must share it)."""
+    spec (Serial/Binary/Block.hs:133-423) — the deterministic fixture for
+    the v2_upgrade_roundtrip driver query.  ``rows`` =
+    [(hash, entity_id, {attr_id: [(time, fsid, tombstone, value), ...]})]
+    sorted by hash; attr 0 = int facts, attr 1 = binary facts; an entity
+    may carry any subset of attributes (r6: needed so one file can hold
+    identical-key bal facts next to the other's, driving the cross-file
+    tie order).  The header declares BOTH attributes (files of one read
+    must share it)."""
     import json as _json
 
     import numpy as np
@@ -936,26 +983,40 @@ def _synth_v2_file(path: str, rows, attr_id: int, block_entities: int = 512):
     out = [MAGIC_V2 + u32(2) + strings([b"bal", b"tag"]) + strings(schemas)]
     for i in range(0, len(rows), block_entities):
         chunk = rows[i : i + block_entities]
-        facts = [f for _, _, fs in chunk for f in fs]
+        # flattened (attr_id, facts) entries in entity order, attrs sorted
+        entries = [
+            (aid, fs)
+            for _, _, attrs in chunk
+            for aid, fs in sorted(attrs.items())
+        ]
+        facts = [f for _, fs in entries for f in fs]
         blk = u32(len(chunk))
         blk += ints([h for h, _, _ in chunk])
         blk += strings([e.encode() for _, e, _ in chunk])
-        blk += ints([1] * len(chunk))  # one attr entry per entity
-        blk += u32(len(chunk))
-        blk += ints([attr_id] * len(chunk))
-        blk += ints([len(fs) for _, _, fs in chunk])
+        blk += ints([len(attrs) for _, _, attrs in chunk])
+        blk += u32(len(entries))
+        blk += ints([aid for aid, _ in entries])
+        blk += ints([len(fs) for _, fs in entries])
         blk += u32(len(facts))
         blk += ints([t for t, _, _, _ in facts])
         blk += ints([f for _, f, _, _ in facts])
         blk += ints([tb for _, _, tb, _ in facts])
-        blk += u32(1) + ints([attr_id]) + ints([len(facts)])
-        if attr_id == 0:  # int table
-            blk += ints([v for _, _, _, v in facts])
-        else:  # nested binary table: lengths | u32 total | sized bytes
-            bs = [v.encode() for _, _, _, v in facts]
-            concat = b"".join(bs)
-            blk += ints([len(b) for b in bs])
-            blk += u32(len(concat)) + pack_sized_byte_array(concat)
+        # one striped table per attribute present, values in entry order
+        present = sorted({aid for aid, _ in entries})
+        tbl = {
+            aid: [v for a2, fs in entries if a2 == aid for _, _, _, v in fs]
+            for aid in present
+        }
+        blk += u32(len(present)) + ints(present)
+        blk += ints([len(tbl[a]) for a in present])
+        for aid in present:
+            if aid == 0:  # int table
+                blk += ints(tbl[aid])
+            else:  # nested binary table: lengths | u32 total | sized bytes
+                bs = [v.encode() for v in tbl[aid]]
+                concat = b"".join(bs)
+                blk += ints([len(b) for b in bs])
+                blk += u32(len(concat)) + pack_sized_byte_array(concat)
         out.append(blk)
     with open(path, "wb") as f:
         f.write(b"".join(out))
@@ -972,9 +1033,20 @@ def _q_v2_upgrade_roundtrip(spark, sf_dir):
     container, and flattened to scalar fact rows.
 
     Fact layout (all oracle-expressible from customer):
-      bal (int):  (time=k, fsid=1, live, value=3k+1) per customer k;
-                  plus (time=k+1, fsid=2, TOMBSTONE, 0) when k%5==0
-      tag (bin):  (time=k, fsid=1, live, value=c_mktsegment)
+      file A — bal (int):  (time=k, fsid=1, live, value=3k+1) per customer
+                  k; plus (time=k+1, fsid=2, TOMBSTONE, 0) when k%5==0
+      file B — tag (bin):  (time=k, fsid=1, live, value=c_mktsegment);
+                  plus, when k%7==0, a bal fact at the IDENTICAL
+                  (time=k, fsid=1) key with value=3k+2
+    The k%7 facts collide with file A's bal facts on the full
+    (entity, attribute, time, factset_id) key, so the merged ``values``
+    list order IS the cross-file tie order: the output's ``value_seq``
+    (posexplode position) must put file A's 3k+1 at 0 and file B's 3k+2
+    at 1 — exactly the C kernel's first-seen-input rule
+    (zebra_merge.c:41-46) that merge_map_form's (__rank, __file, __seq)
+    comparator implements.  Remove the ``__file`` path ordinal and this
+    row goes red (r5 verdict #5: tie order driver-verified, not
+    pytest-only).
     """
     import shutil
     import tempfile
@@ -1001,13 +1073,18 @@ def _q_v2_upgrade_roundtrip(spark, sf_dir):
         bal = [(k, 1, 0, 3 * k + 1)]
         if k % 5 == 0:
             bal.append((k + 1, 2, 1, 0))
-        bal_rows.append(ent + ([tuple(f) for f in bal],))
-        tag_rows.append(ent + ([(k, 1, 0, r["c_mktsegment"])],))
+        bal_rows.append(ent + ({0: bal},))
+        attrs = {1: [(k, 1, 0, r["c_mktsegment"])]}
+        if k % 7 == 0:
+            # identical (time, fsid) key as file A's bal fact: the merge
+            # must keep file A's value first (cross-file tie order)
+            attrs[0] = [(k, 1, 0, 3 * k + 2)]
+        tag_rows.append(ent + (attrs,))
     out = tempfile.mkdtemp(prefix="zs_v2up_")
     try:
         p_bal, p_tag = f"{out}/bal.zebra", f"{out}/tag.zebra"
-        _synth_v2_file(p_bal, bal_rows, attr_id=0)
-        _synth_v2_file(p_tag, tag_rows, attr_id=1)
+        _synth_v2_file(p_bal, bal_rows)
+        _synth_v2_file(p_tag, tag_rows)
         paths = [p_bal, p_tag]
         # `zs upgrade` semantics inline: every entity appears in both
         # files, so the map-form read has duplicate keys -> merge collapse
@@ -1037,7 +1114,9 @@ def _q_v2_upgrade_roundtrip(spark, sf_dir):
                     F.lit(attr).alias("attribute"),
                     F.col("e.time").alias("time"),
                     F.col("e.factset_id").alias("factset_id"),
-                    F.explode("e.values").alias("v"),
+                    # posexplode: the position inside the merged values
+                    # list is the cross-file tie order under test
+                    F.posexplode("e.values").alias("value_seq", "v"),
                 )
                 .select(
                     "entity_hash",
@@ -1045,6 +1124,7 @@ def _q_v2_upgrade_roundtrip(spark, sf_dir):
                     "attribute",
                     "time",
                     "factset_id",
+                    F.col("value_seq").cast("long").alias("value_seq"),
                     (F.col("v.tag") == 0).cast("long").alias("tombstone"),
                     val_int(F.col("v")).alias("value_int"),
                     val_str(F.col("v")).alias("value_str"),
@@ -1368,15 +1448,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings"
         ),
         "media_features": (
-            "WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
-            "'text-bytes' AS kind, octet_length(encode(text)) AS nb, "
-            "hex(encode(text)) AS hx FROM documents), "
-            "w AS (SELECT media_id, kind, nb, "
-            "list_transform(range(0, nb), i -> "
-            "CAST('0x' || substr(hx, 2*i+1, 2) AS INT) // 8) AS buckets FROM b) "
-            "SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes, "
-            "md5(array_to_string(list_transform(range(0, 32), j -> "
-            "len(list_filter(buckets, v -> v = j))), ',')) AS hist_digest FROM w"
+            # regenerate the deterministic P6 image arithmetic of
+            # _q_media_features: header 'P6\n{w} {h}\n255\n' (9 bytes +
+            # the two printed dims) + h*w*3 pixel bytes (k*7 + i*13) % 256
+            "WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "doc_id AS k, 4 + doc_id % 5 AS h, 6 + doc_id % 7 AS w "
+            "FROM documents) "
+            "SELECT media_id, "
+            "CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) "
+            "  + h * w * 3 AS BIGINT) AS n_bytes, "
+            "CAST(h AS INT) AS height, CAST(w AS INT) AS width, "
+            "CAST(3 AS INT) AS channels, "
+            "CAST(list_sum(list_transform(range(0, h*w*3, 3), "
+            "  i -> (k*7 + i*13) % 256)) AS BIGINT) AS sum_c0, "
+            "CAST(list_sum(list_transform(range(1, h*w*3, 3), "
+            "  i -> (k*7 + i*13) % 256)) AS BIGINT) AS sum_c1, "
+            "CAST(list_sum(list_transform(range(2, h*w*3, 3), "
+            "  i -> (k*7 + i*13) % 256)) AS BIGINT) AS sum_c2 "
+            "FROM m"
         ),
         "cat_blocks": (
             "WITH o AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 "
@@ -1494,18 +1583,25 @@ def oracle_sql() -> dict[str, str]:
         "checkpoint_resume": "SELECT * FROM orders",
         "v2_upgrade_roundtrip": (
             # regenerate the deterministic fact layout _q_v2_upgrade_roundtrip
-            # derives from customer (bal: int fact per k + tombstone at k%5==0;
-            # tag: one binary fact = c_mktsegment)
+            # derives from customer (file A bal: int fact per k + tombstone at
+            # k%5==0; file B tag: one binary fact = c_mktsegment, plus at
+            # k%7==0 a bal fact colliding with file A's on (time=k, fsid=1)).
+            # value_seq encodes the cross-file tie order: file A's value at
+            # position 0, file B's at 1 (zebra_merge.c first-seen-input rule)
             "WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer) "
             "SELECT k AS entity_hash, 'c' || CAST(k AS VARCHAR) AS entity_id, "
             "'bal' AS attribute, k AS time, CAST(1 AS BIGINT) AS factset_id, "
+            "CAST(0 AS BIGINT) AS value_seq, "
             "CAST(0 AS BIGINT) AS tombstone, CAST(3*k+1 AS BIGINT) AS value_int, "
             "CAST(NULL AS VARCHAR) AS value_str FROM base "
             "UNION ALL "
-            "SELECT k, 'c' || CAST(k AS VARCHAR), 'bal', k+1, 2, 1, 0, NULL "
+            "SELECT k, 'c' || CAST(k AS VARCHAR), 'bal', k, 1, 1, 0, 3*k+2, NULL "
+            "FROM base WHERE k % 7 = 0 "
+            "UNION ALL "
+            "SELECT k, 'c' || CAST(k AS VARCHAR), 'bal', k+1, 2, 0, 1, 0, NULL "
             "FROM base WHERE k % 5 = 0 "
             "UNION ALL "
-            "SELECT k, 'c' || CAST(k AS VARCHAR), 'tag', k, 1, 0, NULL, seg "
+            "SELECT k, 'c' || CAST(k AS VARCHAR), 'tag', k, 1, 0, 0, NULL, seg "
             "FROM base"
         ),
         "projection_and_range_pushdown": (

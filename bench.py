@@ -5,10 +5,10 @@ cached to parquet once; encode throughput measured at two parallelism
 levels on the SAME files, one warm-up run excluded per level, best-of-R
 timed runs; scaling efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
 
-The two levels run in PALINDROME order (lo, hi, hi, lo per iteration)
+The two levels run in PALINDROME order (hi, lo, hi per iteration)
 because this sandbox's CPU budget varies on multi-minute timescales —
 the palindrome cancels linear drift to first order, so the per-iteration
-ratio (lo1+lo2)/(hi1+hi2) sees the same average budget on both sides.  The encode uses the direct-read path
+ratio mean(lo)/mean(hi) sees the same average budget on both sides.  The encode uses the direct-read path
 (zebra_spark.sources.parquet_direct) — workers read their parquet splits
 with pyarrow instead of shipping every row JVM->Python, which is also the
 right layout at cluster scale.
@@ -20,7 +20,13 @@ ZS_BENCH_HI (parallelism pair, default 1 and 4 — N vs 4N inside the
 host's sustained-core grant), ZS_BENCH_SKIP_SCALING=1 to skip scaling,
 ZS_BENCH_MAX_ATTEMPTS / ZS_BENCH_RETRY_SLEEP / ZS_BENCH_MIN_DECODE_RATE
 (throttle-validity retry: each lane re-runs up to MAX_ATTEMPTS spaced
-retries when its validity signal fails, then the flags stand).
+retries when its validity signal fails, then the flags stand),
+ZS_GRANT_GATE_BAR / ZS_GRANT_GATE_MAX_SKIPS / ZS_GRANT_GATE_SLEEP /
+ZS_GRANT_GATE_PASSES (the scaling sweep's grant gate: iterations run
+only in windows where a Spark-free kernel shows the host granting ~HI
+effective cores; skipped windows are recorded).  r6: the two level
+sessions are PERSISTENT subprocesses (tools/bench_worker.py), so the
+legs of a palindrome iteration run back-to-back in one window.
 """
 
 from __future__ import annotations
@@ -46,11 +52,14 @@ BENCH_ROWS = int(os.environ.get("ZS_BENCH_ROWS", "250000"))
 # per-job overhead, yet small enough that a throttled lo=1 sweep stays
 # bounded.  r4 chose 100k rows; after the r5 engine got ~6.7x faster the
 # lo leg fell to ~0.16 s of compute and the wall ratio measured only
-# scheduling (pairs ~0.3 while the Spark-free probe read 0.88) — 500k
-# rows (~25 M tokens) restores a ~1 s lo leg, keeping the worst-case
-# throttled sweep near ~2 min.
-SCALING_ROWS = int(os.environ.get("ZS_BENCH_SCALING_ROWS", "500000"))
-# 3 palindrome iterations (lo,hi,hi,lo each): drift-canceling pairs are
+# scheduling (pairs ~0.3 while the Spark-free probe read 0.88) — ~500k
+# rows (~250 M tokens) restores a ~9 s lo leg.  r6: 524288 = 64 x 8192
+# batches over exactly 32 uniform parquet splits, so the HI leg's task
+# split is PERFECTLY balanced (the old 45-split input gave 12-vs-11
+# splits per task — a structural 6.7% tail penalty on every hi leg).
+SCALING_ROWS = int(os.environ.get("ZS_BENCH_SCALING_ROWS", "524288"))
+SCALING_PARTS = 32
+# 3 palindrome iterations (hi,lo,hi each): drift-canceling pairs are
 # far more robust than plain interleaved pairs on this host's
 # multi-minute throttle windows; the median over 3 tolerates one
 # contaminated iteration
@@ -68,7 +77,9 @@ F1_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench", f"f1_{BENCH_ROWS}.parquet"
 )
 F1_SCALING_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".bench", f"f1_{SCALING_ROWS}.parquet"
+    os.path.dirname(os.path.abspath(__file__)),
+    ".bench",
+    f"f1_scaling_{SCALING_ROWS}x{SCALING_PARTS}.parquet",
 )
 # the Spark-free engine probe keeps a SHORT input (~5 M tokens): its legs
 # measure a pure ratio with ~no fixed overhead, and short bursts are far
@@ -99,7 +110,10 @@ def ensure_f1_input():
     spark = get_spark(master=f"local[{CPUS}]", app_name="zs-bench-gen")
     spark.sparkContext.setLogLevel("ERROR")
     for p, n in todo:
-        df = f1_table(spark, n, partitions=4 * CPUS, rows_per_batch=1 << 13)
+        # the scaling input is written as exactly SCALING_PARTS uniform
+        # splits so the HI leg's split->task assignment balances perfectly
+        parts = SCALING_PARTS if p == F1_SCALING_PATH else 4 * CPUS
+        df = f1_table(spark, n, partitions=parts, rows_per_batch=1 << 13)
         df.write.mode("overwrite").parquet(p)
     spark.stop()
 
@@ -151,44 +165,173 @@ def _retry_lane(run, is_valid, better):
     return best, MAX_ATTEMPTS
 
 
-def scaling_sweep():
-    from zebra_spark.session import get_spark
+from zebra_spark.bench_kernel import grant_work as _grant_work
 
-    n_tokens = None
+GATE_BAR = float(os.environ.get("ZS_GRANT_GATE_BAR", "0.88"))
+GATE_MAX_SKIPS = int(os.environ.get("ZS_GRANT_GATE_MAX_SKIPS", "10"))
+GATE_SLEEP = float(os.environ.get("ZS_GRANT_GATE_SLEEP", "25"))
+GATE_PASSES = int(os.environ.get("ZS_GRANT_GATE_PASSES", "150"))
+
+
+class GrantGate:
+    """Spark-free instantaneous core-grant meter (persistent pools, so the
+    per-process numpy JIT cost is paid once at startup, not per reading).
+
+    The sandbox caps sustained vectorized load at a time-varying 2-4-core
+    aggregate budget on multi-minute windows (BENCH/BASELINE.md §3); in a
+    capped window the HI Spark leg physically cannot run HI/LO times
+    faster, so its wall ratio measures the grant, not the engine.  The
+    gate runs LO then HI concurrent copies of the same fixed kernel
+    (~0.5 s each) and returns t_lo/t_hi: ~1.0 means the host is granting
+    >= HI effective cores RIGHT NOW and a scaling measurement is
+    physically meaningful; measurements are taken only in such windows
+    (every reading and skip is recorded in the artifact)."""
+
+    def __init__(self, lo: int, hi: int):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")  # never fork a JVM-bearing parent
+        self.lo, self.hi = lo, hi
+        self.pool_lo = ctx.Pool(lo)
+        self.pool_hi = ctx.Pool(hi)
+        self.pool_lo.map(_grant_work, [2] * lo)  # JIT warm-up (excluded)
+        self.pool_hi.map(_grant_work, [2] * hi)
+
+    def reading(self) -> dict:
+        t0 = time.perf_counter()
+        self.pool_lo.map(_grant_work, [GATE_PASSES] * self.lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        self.pool_hi.map(_grant_work, [GATE_PASSES] * self.hi)
+        t_hi = time.perf_counter() - t0
+        return {
+            "efficiency": round(t_lo / t_hi, 3),
+            "lo_sec": round(t_lo, 3),
+            "hi_sec": round(t_hi, 3),
+        }
+
+    def close(self) -> None:
+        for p in (self.pool_lo, self.pool_hi):
+            p.terminate()
+
+
+class BenchWorker:
+    """Client for a persistent tools/bench_worker.py subprocess: one
+    resident local[N] SparkSession serving timed encode legs on demand.
+    Keeping both level JVMs alive puts all four legs of a palindrome
+    iteration back-to-back inside one host-budget window (the old
+    session-per-leg protocol paid ~10-20 s of untimed JVM startup between
+    legs, letting the window shift mid-iteration)."""
+
+    def __init__(self, cpus: int, path: str):
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(here, ".bench"), exist_ok=True)
+        self.cpus = cpus
+        self.errlog = open(
+            os.path.join(here, ".bench", f"worker_{cpus}.stderr"), "w"
+        )
+        self.proc = subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(here, "tools", "bench_worker.py"),
+                str(cpus),
+                path,
+            ],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=self.errlog,
+            text=True,
+            bufsize=1,
+        )
+
+    def _read_json(self) -> dict:
+        for line in self.proc.stdout:
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(
+            f"bench worker local[{self.cpus}] died "
+            f"(see .bench/worker_{self.cpus}.stderr)"
+        )
+
+    def wait_ready(self) -> None:
+        assert self._read_json().get("ready")
+
+    def run(self) -> dict:
+        self.proc.stdin.write("RUN\n")
+        self.proc.stdin.flush()
+        return self._read_json()
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=30)
+        except Exception:
+            self.proc.kill()
+        self.errlog.close()
+
+
+def scaling_sweep():
+    import pyarrow.parquet as pq
+
+    n_tokens = int(
+        pq.read_table(F1_SCALING_PATH, columns=["n_tok"])["n_tok"]
+        .to_numpy()
+        .sum()
+    )
     best = {LO: None, HI: None}
     totals = {LO: None, HI: None}
     samples = {LO: [], HI: []}
     pal_pairs = []  # per-iteration palindrome (lo_sum, hi_sum)
-    warmed = set()
-    for it in range(ITERS):
-        # PALINDROME order (lo, hi, hi, lo): the host budget drifts on
-        # multi-minute scales, and a palindrome cancels LINEAR drift to
-        # first order — (lo1+lo2)/(hi1+hi2) sees the same average window
-        # on both sides, where a plain (lo, hi) pair puts all of the
-        # drift into the ratio
-        it_times = {LO: [], HI: []}
-        for cpus in (LO, HI, HI, LO):
-            spark = get_spark(
-                master=f"local[{cpus}]",
-                app_name=f"zs-bench-{cpus}-{it}",
-                shuffle_partitions=max(8, cpus),
-            )
-            spark.sparkContext.setLogLevel("ERROR")
-            if n_tokens is None:
-                n_tokens = int(
-                    spark.read.parquet(F1_SCALING_PATH)
-                    .agg(F.sum("n_tok")).collect()[0][0]
+    gate_log, skips = [], 0
+    # start both level workers first (their warm-ups run concurrently,
+    # excluded per protocol), then the grant gate
+    workers = {n: BenchWorker(n, F1_SCALING_PATH) for n in (LO, HI)}
+    for w in workers.values():
+        w.wait_ready()
+    gate = GrantGate(LO, HI)
+    try:
+        iters_done = 0
+        while iters_done < ITERS:
+            # GRANT GATE: measure only in windows where the host grants
+            # ~HI effective cores (r5 verdict #2: "skip the window") — a
+            # capped window measures the sandbox budget, not the engine.
+            # After GATE_MAX_SKIPS the remaining iterations run ungated so
+            # the artifact always carries ITERS honest iterations.
+            g = gate.reading()
+            gate_log.append(g["efficiency"])
+            if g["efficiency"] < GATE_BAR and skips < GATE_MAX_SKIPS:
+                skips += 1
+                time.sleep(GATE_SLEEP)
+                continue
+            # PALINDROME order (hi, lo, hi): symmetric around the LO leg,
+            # so linear budget drift cancels to first order; the
+            # grant-sensitive HI legs sit closest to the just-passed gate
+            # reading, and the whole iteration stays ~14 s — short enough
+            # to fit inside one grant window
+            it_times = {LO: [], HI: []}
+            for cpus in (HI, LO, HI):
+                res = workers[cpus].run()
+                dt = res["sec"]
+                samples[cpus].append(dt)
+                it_times[cpus].append(dt)
+                if best[cpus] is None or dt < best[cpus]:
+                    best[cpus], totals[cpus] = dt, res
+            # normalized per-level mean seconds, so the pair math is
+            # independent of how many legs each level ran this iteration
+            pal_pairs.append(
+                (
+                    sum(it_times[LO]) / len(it_times[LO]),
+                    sum(it_times[HI]) / len(it_times[HI]),
                 )
-            if cpus not in warmed:
-                encode_once(spark, F1_SCALING_PATH)  # excluded warm-up
-                warmed.add(cpus)
-            dt, row = encode_once(spark, F1_SCALING_PATH)
-            samples[cpus].append(dt)
-            it_times[cpus].append(dt)
-            if best[cpus] is None or dt < best[cpus]:
-                best[cpus], totals[cpus] = dt, row
-            spark.stop()
-        pal_pairs.append((sum(it_times[LO]), sum(it_times[HI])))
+            )
+            iters_done += 1
+    finally:
+        gate.close()
+        for w in workers.values():
+            w.close()
 
     def level(cpus):
         return {
@@ -205,7 +348,8 @@ def scaling_sweep():
     lo, hi = level(LO), level(HI)
     eff_bestof = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / (HI / LO)
     # drift-canceling estimator: one efficiency per palindrome iteration
-    eff_pairs = [(lsum / hsum) / (HI / LO) for lsum, hsum in pal_pairs]
+    # pal_pairs carry per-level MEAN seconds per iteration
+    eff_pairs = [(lmean / hmean) / (HI / LO) for lmean, hmean in pal_pairs]
     # VALIDITY filter on an INDEPENDENT signal: when the host grants less
     # than ~a third of one core to the lo=1 leg (absolute rate, nothing to
     # do with the ratio), the HI leg physically cannot use its cores and
@@ -215,7 +359,7 @@ def scaling_sweep():
     # headline median; if ALL are below, the run is flagged throttled and
     # the median falls back to every iteration.
     min_lo_rate = float(os.environ.get("ZS_BENCH_MIN_LO_RATE", "2.5e6"))
-    lo_rates = [n_tokens * 2 / lsum for lsum, _ in pal_pairs]
+    lo_rates = [n_tokens / lmean for lmean, _ in pal_pairs]
     valid = [i for i, r in enumerate(lo_rates) if r >= min_lo_rate]
     throttled_run = not valid
     use = valid if valid else list(range(len(eff_pairs)))
@@ -245,6 +389,12 @@ def scaling_sweep():
         "scaling_valid_iterations": len(valid),
         "scaling_throttled_run": throttled_run,
         "scaling_pairs_throttle_artifacts": n_throttle_artifacts,
+        "scaling_leg_order": "hi,lo,hi (persistent sessions)",
+        "grant_gate": {
+            "bar": GATE_BAR,
+            "readings": gate_log,
+            "windows_skipped": skips,
+        },
         "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
     }
 

@@ -264,3 +264,44 @@ def test_resize_images_bmp(spark):
         np.testing.assert_array_equal(
             decode_image(got), src[ys][:, xs], err_msg=mid
         )
+
+
+def test_image_stats_all_formats(spark):
+    """image_stats decodes PPM, BMP and the fake format to exact integer
+    dimensions + per-channel sums; undecodable payloads emit null stats."""
+    from zebra_spark.functions.multimodal import (
+        bmp_image,
+        image_stats,
+        ppm_image,
+    )
+
+    rng = np.random.default_rng(7)
+    img_a = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, size=(3, 9, 3), dtype=np.uint8)
+    rows = [
+        ("ppm", bytearray(ppm_image(img_a))),
+        ("bmp", bytearray(bmp_image(img_b))),
+        ("fake", bytearray(fake_image(11, 4, 4))),
+        ("junk", bytearray(b"\x89PNG not decodable")),
+    ]
+    media = spark.createDataFrame(
+        [(mid, "image", bytes(p), None) for mid, p in rows],
+        "media_id string, kind string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,duration_ms:int>",
+    )
+    got = {r["media_id"]: r for r in image_stats(media).collect()}
+    for mid, img in (("ppm", img_a), ("bmp", img_b)):
+        r = got[mid]
+        assert (r["height"], r["width"], r["channels"]) == img.shape
+        want = img.reshape(-1, 3).sum(axis=0).tolist()
+        assert r["channel_sums"] == want
+    fk = got["fake"]
+    assert (fk["height"], fk["width"], fk["channels"]) == (4, 4, 3)
+    from zebra_spark.functions.multimodal import decode_image
+
+    assert fk["channel_sums"] == (
+        decode_image(fake_image(11, 4, 4)).reshape(-1, 3).sum(axis=0).tolist()
+    )
+    junk = got["junk"]
+    assert junk["height"] is None and junk["channel_sums"] is None
+    assert junk["n_bytes"] == len(rows[3][1])

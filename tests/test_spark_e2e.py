@@ -221,3 +221,51 @@ def test_zone_map_string_keys(spark):
     )
     want = df.filter(F.col("source") == "code")
     assert_df_equal(want, got)
+
+
+def test_encode_metrics_direct_matches_full_encode(spark, tmp_path):
+    """The python-side metric fold (scaling-bench leg / dry-run job) must
+    report exactly the totals of the full block encode."""
+    from zebra_spark.sources.parquet_direct import (
+        encode_metrics_direct,
+        encode_parquet_direct,
+    )
+
+    df = f1_table(spark, 2000, partitions=4, rows_per_batch=512)
+    path = str(tmp_path / "f1.parquet")
+    df.write.parquet(path)
+
+    full = (
+        encode_parquet_direct(spark, path)
+        .groupBy()
+        .agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc"),
+            F.sum("zebra_bytes").alias("zebra"),
+        )
+        .collect()[0]
+    )
+    fold = (
+        encode_metrics_direct(spark, path)
+        .groupBy()
+        .agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_tokens").alias("tok"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc"),
+            F.sum("zebra_bytes").alias("zebra"),
+        )
+        .collect()[0]
+    )
+    assert fold["rows"] == full["rows"] == 2000
+    assert fold["raw"] == full["raw"]
+    assert fold["zebra"] == full["zebra"]
+    # enc_bytes is NOT bit-reproducible across jobs in one session: the
+    # selector's probe/hint caches live in the REUSED python workers, so
+    # selection can differ slightly with worker history (r5 convention —
+    # verify_blocks pins determinism under the speed policy instead).
+    # Bound it: within 1% of the full encode and never above zebra.
+    assert abs(fold["enc"] - full["enc"]) <= 0.01 * full["enc"]
+    assert fold["enc"] <= fold["zebra"]
+    assert fold["tok"] == df.agg(F.sum("n_tok")).collect()[0][0]

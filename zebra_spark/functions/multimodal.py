@@ -262,6 +262,76 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInArrow(run, schema=FEATURES_DDL)
 
 
+IMAGE_STATS_DDL = (
+    "media_id string, n_bytes long, height int, width int, channels int, "
+    "channel_sums array<long>"
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Decode each payload (PPM/P6, 24-bit BI_RGB BMP, ZSIM fake) and emit
+    exact integer statistics: payload length, dimensions and per-channel
+    pixel sums — the oracle-checkable face of the real decode path.
+
+    Per row the python work is one bounded header parse + the numpy
+    reshape/sum over that row's pixel buffer (the same header-per-row /
+    pixels-vectorized discipline as :func:`resize_images`); rows whose
+    payload cannot be decoded emit null stats so a real pipeline can
+    quarantine them without failing the scan.
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            starts, lengths, data, is_null = _binary_view(rb.column("payload"))
+            n = rb.num_rows
+            hs = np.full(n, -1, dtype=np.int64)
+            ws = np.full(n, -1, dtype=np.int64)
+            cs = np.full(n, -1, dtype=np.int64)
+            sums: list[list[int] | None] = [None] * n
+            for i in range(n):
+                if is_null[i]:
+                    continue
+                try:
+                    img = decode_image(
+                        data[starts[i] : starts[i] + lengths[i]].tobytes()
+                    )
+                except (NotImplementedError, ValueError):
+                    continue
+                hs[i], ws[i], cs[i] = img.shape
+                sums[i] = (
+                    img.reshape(-1, img.shape[2])
+                    .sum(axis=0, dtype=np.int64)
+                    .tolist()
+                )
+            ok = hs >= 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("media_id"),
+                    pa.array(lengths, type=pa.int64()),
+                    pa.array(
+                        np.where(ok, hs, 0).astype(np.int32), mask=~ok
+                    ),
+                    pa.array(
+                        np.where(ok, ws, 0).astype(np.int32), mask=~ok
+                    ),
+                    pa.array(
+                        np.where(ok, cs, 0).astype(np.int32), mask=~ok
+                    ),
+                    pa.array(sums, type=pa.list_(pa.int64())),
+                ],
+                names=[
+                    "media_id",
+                    "n_bytes",
+                    "height",
+                    "width",
+                    "channels",
+                    "channel_sums",
+                ],
+            )
+
+    return media.mapInArrow(run, schema=IMAGE_STATS_DDL)
+
+
 def _binary_view(arr: pa.Array):
     """(starts, lengths, flat_data, is_null) numpy views over an Arrow
     binary column — zero copies of the payload bytes."""
