@@ -111,9 +111,17 @@ def ensure_f1_input():
     spark.sparkContext.setLogLevel("ERROR")
     for p, n in todo:
         # the scaling input is written as exactly SCALING_PARTS uniform
-        # splits so the HI leg's split->task assignment balances perfectly
+        # splits (exact_partitions: contiguous equal batch runs, not
+        # round-robin) so the HI leg's split->task assignment balances
+        # perfectly — per-split encode cost is ~proportional to rows
         parts = SCALING_PARTS if p == F1_SCALING_PATH else 4 * CPUS
-        df = f1_table(spark, n, partitions=parts, rows_per_batch=1 << 13)
+        df = f1_table(
+            spark,
+            n,
+            partitions=parts,
+            rows_per_batch=1 << 13,
+            exact_partitions=p == F1_SCALING_PATH,
+        )
         df.write.mode("overwrite").parquet(p)
     spark.stop()
 
@@ -171,6 +179,14 @@ GATE_BAR = float(os.environ.get("ZS_GRANT_GATE_BAR", "0.88"))
 GATE_MAX_SKIPS = int(os.environ.get("ZS_GRANT_GATE_MAX_SKIPS", "10"))
 GATE_SLEEP = float(os.environ.get("ZS_GRANT_GATE_SLEEP", "25"))
 GATE_PASSES = int(os.environ.get("ZS_GRANT_GATE_PASSES", "150"))
+# iteration validity: lo-leg absolute rate (unthrottled single-core encode
+# is ~8 M tok/s, BENCH/BASELINE.md 9.2; bar = a third of the conservative
+# end) + intra-iteration HI-leg spread (the palindrome's linear-drift
+# assumption is falsified when the two HI legs disagree by >25%).  The
+# sweep keeps running iterations until ITERS are valid, up to MAX_ITERS.
+MIN_LO_RATE = float(os.environ.get("ZS_BENCH_MIN_LO_RATE", "2.5e6"))
+HI_SPREAD_MAX = float(os.environ.get("ZS_BENCH_HI_SPREAD_MAX", "0.25"))
+MAX_ITERS = int(os.environ.get("ZS_BENCH_MAX_ITERS", "7"))
 
 
 class GrantGate:
@@ -292,14 +308,16 @@ def scaling_sweep():
     for w in workers.values():
         w.wait_ready()
     gate = GrantGate(LO, HI)
+    hi_spreads = []
     try:
         iters_done = 0
-        while iters_done < ITERS:
+        valid_done = 0
+        while valid_done < ITERS and iters_done < MAX_ITERS:
             # GRANT GATE: measure only in windows where the host grants
             # ~HI effective cores (r5 verdict #2: "skip the window") — a
             # capped window measures the sandbox budget, not the engine.
             # After GATE_MAX_SKIPS the remaining iterations run ungated so
-            # the artifact always carries ITERS honest iterations.
+            # the artifact always carries >= ITERS honest iterations.
             g = gate.reading()
             gate_log.append(g["efficiency"])
             if g["efficiency"] < GATE_BAR and skips < GATE_MAX_SKIPS:
@@ -309,7 +327,7 @@ def scaling_sweep():
             # PALINDROME order (hi, lo, hi): symmetric around the LO leg,
             # so linear budget drift cancels to first order; the
             # grant-sensitive HI legs sit closest to the just-passed gate
-            # reading, and the whole iteration stays ~14 s — short enough
+            # reading, and the whole iteration stays ~16 s — short enough
             # to fit inside one grant window
             it_times = {LO: [], HI: []}
             for cpus in (HI, LO, HI):
@@ -327,7 +345,19 @@ def scaling_sweep():
                     sum(it_times[HI]) / len(it_times[HI]),
                 )
             )
+            # intra-iteration drift check: the palindrome cancels LINEAR
+            # drift, so the two HI legs bracketing the LO leg must agree —
+            # a large spread means the grant window SHIFTED mid-iteration
+            # (nonlinear drift) and the pair is contaminated in an unknown
+            # direction.  Direction-blind validity signal, like lo_rate.
+            h1, h2 = it_times[HI]
+            hi_spreads.append(abs(h1 - h2) / min(h1, h2))
             iters_done += 1
+            if (
+                hi_spreads[-1] <= HI_SPREAD_MAX
+                and n_tokens / pal_pairs[-1][0] >= MIN_LO_RATE
+            ):
+                valid_done += 1
     finally:
         gate.close()
         for w in workers.values():
@@ -358,9 +388,12 @@ def scaling_sweep():
     # bar 2.5 M tok/s.  Iterations below the bar are excluded from the
     # headline median; if ALL are below, the run is flagged throttled and
     # the median falls back to every iteration.
-    min_lo_rate = float(os.environ.get("ZS_BENCH_MIN_LO_RATE", "2.5e6"))
     lo_rates = [n_tokens / lmean for lmean, _ in pal_pairs]
-    valid = [i for i, r in enumerate(lo_rates) if r >= min_lo_rate]
+    valid = [
+        i
+        for i, r in enumerate(lo_rates)
+        if r >= MIN_LO_RATE and hi_spreads[i] <= HI_SPREAD_MAX
+    ]
     throttled_run = not valid
     use = valid if valid else list(range(len(eff_pairs)))
     # headline = MEDIAN of the pair ratios: a pair ratio > 1.0 is physically
@@ -387,6 +420,7 @@ def scaling_sweep():
         "scaling_pairs": [round(e, 3) for e in eff_pairs],
         "scaling_lo_rates_mtoks": [round(r / 1e6, 2) for r in lo_rates],
         "scaling_valid_iterations": len(valid),
+        "scaling_hi_spreads": [round(s, 3) for s in hi_spreads],
         "scaling_throttled_run": throttled_run,
         "scaling_pairs_throttle_artifacts": n_throttle_artifacts,
         "scaling_leg_order": "hi,lo,hi (persistent sessions)",
@@ -592,6 +626,24 @@ def per_table_compression(spark):
             .collect()[0]
         )
         out[t] = round(r["enc"] / r["zebra"], 4)
+    # --sort-by layout lever drift guard (r6): source-sorted rows make
+    # per-block FSE/dict tables single-source (measured ~5% on the token
+    # column, BENCH/BASELINE.md §11).  Ratio of sorted to unsorted enc
+    # bytes on the cached 100k-row F1 probe input; < 1.0 means the flag
+    # still pays.
+    fdf = spark.read.parquet(F1_PROBE_PATH)
+
+    def tot(frame):
+        return (
+            encode_df(frame, rows_per_block=1 << 16)
+            .groupBy()
+            .agg(F.sum("enc_bytes").alias("e"))
+            .collect()[0]["e"]
+        )
+
+    out["f1_sorted_by_source_vs_unsorted"] = round(
+        tot(fdf.sortWithinPartitions("source")) / tot(fdf), 4
+    )
     return out
 
 

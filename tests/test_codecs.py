@@ -598,8 +598,11 @@ def test_fsst_z_roundtrip_and_size_policy_selection():
     """r5 ext (str codec 5): the FSST section re-entropy-coded by zstd.
     FSST's dense byte codes still carry ~20-25% Huffman slack; the stack
     rides the SAME decode-budget probe family as FSST, so balanced
-    behavior is unchanged while the size policy gains the full win
-    (document text: fsst 0.503 -> fsst-zstd 0.389 of zebra)."""
+    selection changes only where FSST itself clears the budget — THERE
+    FSST_Z may also be selected (the added inflate on the ~0.18x section
+    is cheap and covered by FSST's budget); where the gate fails (this
+    sandbox), balanced is untouched and the size policy gains the full
+    win (document text: fsst 0.503 -> fsst-zstd 0.389 of zebra)."""
     from zebra_spark.codec import codecs
     from zebra_spark.codec.codecs import skip_strings
 
@@ -754,3 +757,60 @@ def test_pfor_sampled_feasibility_margin_keeps_boundary_cut():
     assert m["bytes"] < 0.5 * m["zebra_bytes"]
     out, p = decode_ints(c, payload, n)
     assert (out == vals).all() and p == len(payload)
+
+
+def test_fsst_balanced_gate_is_absolute_nspb(monkeypatch):
+    """r6: the FSST-family balanced decode gate is an ABSOLUTE ns/byte
+    bar (_FSST_NSPB_BUDGET), not a snappy wall-clock ratio — on a host
+    whose measured FSST decode clears the bar, balanced selection CAN
+    pick the FSST family; on this (throttled) sandbox it measures far
+    above the bar and balanced stays FSST-free.  Both directions pinned
+    by faking the single measurement point."""
+    from zebra_spark.codec import codecs
+
+    rng = np.random.default_rng(11)
+    words = [b"the", b"model", b"training", b"pipeline", b"compression",
+             b"tokens", b"columnar", b"dataset"]
+    strings = [
+        b" ".join(words[i] for i in rng.integers(0, len(words), size=40))
+        for _ in range(1200)
+    ]
+    lengths = np.array([len(s) for s in strings], dtype=np.int64)
+    concat = b"".join(strings)
+    assert len(concat) >= (64 << 10) and lengths.mean() >= 64
+
+    def run(fake_nspb, key):
+        monkeypatch.setattr(codecs, "_fsst_decode_nspb", lambda s, p: fake_nspb)
+        codecs._FSST_PROBE_CACHE.pop(key, None)
+        codecs._FSST_LOSS_STREAK.pop(key, None)
+        with codecs.codec_policy("balanced"):
+            c, _, m = encode_strings(lengths, concat, probe_key=key)
+        return c, m
+
+    # fast host: measured cost clears the bar -> FSST family selectable
+    c_fast, m_fast = run(codecs._FSST_NSPB_BUDGET * 0.5, "t.fast")
+    assert c_fast in (StrCodec.FSST, StrCodec.FSST_Z), m_fast
+    # slow host (this sandbox measures 32-48 ns/B): gate refuses
+    c_slow, _ = run(codecs._FSST_NSPB_BUDGET * 10, "t.slow")
+    assert c_slow not in (StrCodec.FSST, StrCodec.FSST_Z)
+
+
+def test_fsst_nspb_sandbox_measurement_regression():
+    """Pin the real measurement path: _fsst_decode_nspb returns a finite
+    positive ns/byte, and _probe_decode_ok agrees with the bar.  On this
+    sandbox the numpy symbol expansion measures >> _FSST_NSPB_BUDGET so
+    the probe must refuse; skip the refusal pin if a (future, faster)
+    host measures within 2x of the bar."""
+    from zebra_spark.codec import codecs, fsst as F
+    from zebra_spark.codec.warmup import warm_codec
+
+    warm_codec()
+    rng = np.random.default_rng(12)
+    words = [b"signal", b"entropy", b"symbol", b"expansion", b"table"]
+    sample = b" ".join(words[i] for i in rng.integers(0, len(words), size=12000))[: 64 << 10]
+    probe = F.compress(sample)
+    assert probe is not None
+    nspb = codecs._fsst_decode_nspb(sample, probe)
+    assert 0 < nspb < float("inf")
+    if nspb > 2 * codecs._FSST_NSPB_BUDGET:
+        assert not codecs._probe_decode_ok(sample, probe)

@@ -40,6 +40,18 @@ def main():
     ap.add_argument("--rows-per-block", type=int, default=1 << 16)
     ap.add_argument("--salt-col", default=None, help="skew-salting column")
     ap.add_argument("--salt-buckets", type=int, default=0)
+    ap.add_argument(
+        "--sort-by",
+        default=None,
+        help=(
+            "comma list: sortWithinPartitions before encoding — groups "
+            "like rows into the same blocks so per-block dictionaries / "
+            "FSE tables stop paying the mixture penalty (measured ~5%% "
+            "on the token column when sorting by source, BENCH/"
+            "BASELINE.md section 11).  A layout FLAG, not a default: the "
+            "engine takes rows as given; no shuffle is added"
+        ),
+    )
     ap.add_argument("--unit-cols", default=None, help="comma list; default: all columns")
     ap.add_argument("--master", default=None, help="override master (default: cluster/local env)")
     ap.add_argument(
@@ -75,6 +87,20 @@ def main():
             "spark.executorEnv.ZS_CODEC_POLICY", args.policy
         )
     spark = builder.getOrCreate()
+    if args.policy:
+        # builder.config is silently ignored when getOrCreate() reuses an
+        # already-running session — on a cluster the executors would then
+        # keep their old ZS_CODEC_POLICY while the driver uses the new
+        # one (mixed-policy encode).  Detect and warn loudly.
+        got = spark.conf.get("spark.executorEnv.ZS_CODEC_POLICY", None)
+        if got != args.policy:
+            print(
+                f"WARNING: existing SparkSession reused; executors carry "
+                f"ZS_CODEC_POLICY={got!r}, requested {args.policy!r} — "
+                "stop the session (or submit a fresh app) to apply the "
+                "policy cluster-wide",
+                file=sys.stderr,
+            )
 
     from zebra_spark.sources.iceberg import read_input
 
@@ -82,6 +108,8 @@ def main():
     if args.salt_col and args.salt_buckets:
         salt = F.pmod(F.xxhash64(*df.columns), F.lit(args.salt_buckets))
         df = df.repartition(F.col(args.salt_col), salt)
+    if args.sort_by:
+        df = df.sortWithinPartitions(*args.sort_by.split(","))
     unit_cols = (
         args.unit_cols.split(",") if args.unit_cols else list(df.columns[:1])
     )

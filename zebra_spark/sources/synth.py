@@ -101,19 +101,34 @@ def f1_table(
     seed: int = 42,
     partitions: int = 32,
     rows_per_batch: int = 1 << 14,
+    exact_partitions: bool = False,
 ) -> DataFrame:
     """Distributed deterministic F1 table as a DataFrame.
 
     Determinism: row ``i`` depends only on (seed, floor(i / rows_per_batch)),
     not on ``partitions`` — identical data at any parallelism (the
     two-cluster-size scaling runs read identical input).
+
+    ``exact_partitions``: slice the batch list into exactly ``partitions``
+    contiguous equal runs (sc.parallelize) instead of repartition().
+    repartition's RoundRobinPartitioning starts each INPUT partition at a
+    random offset, so a small meta list lands multinomially (measured:
+    64 batches over 32 partitions gave 1-5 batches per partition and 6
+    empty ones) — fine for bulk data, fatal for a scaling-bench input
+    whose task balance must be structural.
     """
     n_batches = (n_rows + rows_per_batch - 1) // rows_per_batch
     meta = [
         (b * rows_per_batch, min(rows_per_batch, n_rows - b * rows_per_batch))
         for b in range(n_batches)
     ]
-    mdf = spark.createDataFrame(meta, "start long, n long").repartition(partitions)
+    if exact_partitions:
+        rdd = spark.sparkContext.parallelize(meta, min(partitions, len(meta)))
+        mdf = spark.createDataFrame(rdd, "start long, n long")
+    else:
+        mdf = spark.createDataFrame(meta, "start long, n long").repartition(
+            partitions
+        )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
