@@ -41,6 +41,22 @@ def test_cli_roundtrip_and_commands(spark, tmp_path, capsys):
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 3 and set(lines[0]) == {"doc_id", "lang"}
 
+    # cat --key-range: zone-map skip + exact row filter, projection kept
+    zs.main([
+        "cat", "--input", blocks_dir, "--columns", "lang",
+        "--key-col", "doc_id", "--key-range", "10:29",
+    ])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    want = docs.filter("doc_id between 10 and 29").count()
+    assert len(lines) == want and set(lines[0]) == {"lang"}
+    # unbounded lower side
+    zs.main([
+        "cat", "--input", blocks_dir,
+        "--key-col", "doc_id", "--key-range", ":5",
+    ])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == docs.filter("doc_id <= 5").count()
+
     # summary emits one JSON object with the totals
     zs.main(["summary", "--input", blocks_dir])
     s = json.loads(capsys.readouterr().out.strip())

@@ -509,3 +509,40 @@ def test_v2_header_read_doubles_past_initial_size(v2_path, monkeypatch):
     names, nodes = z2.read_v2_header(v2_path)
     assert names == ["cash", "name"]
     assert nodes == [CASH, NAME]
+
+
+def test_cross_file_tie_order_distinguishes_file_order(spark, tmp_path):
+    """Falsification for the r6 driver fixture (v2_upgrade_roundtrip):
+    facts colliding on the full (entity, time, factset_id) key across two
+    files must merge their values in FILE-PATH order — so merging the same
+    files in reversed path order must FLIP the values order.  This proves
+    the driver row's value_seq hash actually pins the (__rank, __file,
+    __seq) comparator: drop or misorder the __file ordinal and the row
+    cannot stay green for both orders (zebra_merge.c:41-46 first-seen
+    rule)."""
+    import __spark_entry__ as entry
+    from zebra_spark.operators.zfile_v2 import (
+        merge_map_form,
+        read_v2_header,
+        read_zebra_v2_files,
+        spark_schema_v2,
+    )
+
+    rows_a = [(1, "e1", {0: [(5, 1, 0, 100)]})]
+    rows_b = [(1, "e1", {0: [(5, 1, 0, 200)], 1: [(5, 1, 0, "x")]})]
+    p_a = str(tmp_path / "a.zebra")
+    p_b = str(tmp_path / "b.zebra")
+    entry._synth_v2_file(p_a, rows_a)
+    entry._synth_v2_file(p_b, rows_b)
+    names, nodes = read_v2_header(p_a)
+    schema = spark_schema_v2(names, nodes)
+
+    def merged_bal_values(paths):
+        df = read_zebra_v2_files(spark, paths, with_ordinal=True)
+        row = merge_map_form([df], schema).collect()[0].asDict(recursive=True)
+        (ent,) = row["bal"]
+        assert (ent["time"], ent["factset_id"]) == (5, 1)
+        return [v["v_some"] for v in ent["values"]]
+
+    assert merged_bal_values([p_a, p_b]) == [100, 200]
+    assert merged_bal_values([p_b, p_a]) == [200, 100]

@@ -61,10 +61,16 @@ def _spark(args):
     return spark
 
 
-def _read_blocks(spark, path):
+def _read_blocks(spark, path, columns=None, key_range=None):
     """(blocks_frame_or_None, decoded_df) for a blocks-parquet dir OR a
     directory of `||ZEBRA||00003||` files / a single .zebra file (the
-    reference CLI operates on zbin files directly; so do we)."""
+    reference CLI operates on zbin files directly; so do we).
+
+    ``columns``/``key_range`` push into decode_df on the blocks-parquet
+    path: unread sections are skipped inside each block, and zone maps
+    drop non-intersecting blocks before the decode UDF.  `.zebra` file
+    inputs carry no zone maps — projection applies post-read and the
+    caller's exact row filter does the range."""
     import glob as _glob
 
     from zebra_spark.operators.decode import decode_df
@@ -80,10 +86,32 @@ def _read_blocks(spark, path):
     if zfiles:
         from zebra_spark.operators.zfile import read_zebra_files
 
-        return None, read_zebra_files(spark, zfiles)
+        df = read_zebra_files(spark, zfiles)
+        if columns:
+            df = df.select(*columns)
+        return None, df
     blocks = spark.read.parquet(path)
     # stored blocks may have been shuffled: resolve schema ids up front
-    return blocks, decode_df(blocks, resolve_schemas=True)
+    return blocks, decode_df(
+        blocks, resolve_schemas=True, columns=columns, key_range=key_range
+    )
+
+
+def _parse_key_range(s):
+    """'LO:HI' -> (lo, hi); either side empty = unbounded; values that
+    parse as ints compare numerically against the zone maps."""
+
+    lo, _, hi = s.partition(":")
+
+    def cv(x):
+        if x == "":
+            return None
+        try:
+            return int(x)
+        except ValueError:
+            return x
+
+    return cv(lo), cv(hi)
 
 
 def cmd_import(args):
@@ -187,9 +215,27 @@ def cmd_cat(args):
             )
         df = block_manifest(blocks).orderBy("part_start", "key_min")
     else:
-        _, df = _read_blocks(spark, args.input)
-        if args.columns:
-            df = df.select(*args.columns.split(","))
+        cols = args.columns.split(",") if args.columns else None
+        kr = None
+        if getattr(args, "key_range", None):
+            if not args.key_col:
+                raise SystemExit("--key-range requires --key-col")
+            kr = _parse_key_range(args.key_range)
+            # the key column must be decoded for the exact row filter;
+            # project it in, then drop it if the user didn't ask for it
+            if cols and args.key_col not in cols:
+                cols = cols + [args.key_col]
+        _, df = _read_blocks(spark, args.input, columns=cols, key_range=kr)
+        if kr:
+            from pyspark.sql import functions as F
+
+            lo, hi = kr
+            if lo is not None:
+                df = df.filter(F.col(args.key_col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(args.key_col) <= hi)
+            if args.columns and args.key_col not in args.columns.split(","):
+                df = df.select(*args.columns.split(","))
     rows = df.limit(args.limit).toJSON().collect() if args.limit else df.toJSON().collect()
     for r in rows:
         print(r)
@@ -512,6 +558,16 @@ def main(argv=None):
     p.add_argument(
         "--blocks", action="store_true",
         help="dump per-block metadata (id, key range, sizes) instead of rows",
+    )
+    p.add_argument(
+        "--key-col", default=None,
+        help="key column for --key-range's exact row filter",
+    )
+    p.add_argument(
+        "--key-range", default=None,
+        help="LO:HI (either side empty = unbounded): zone-map block "
+             "skipping on blocks-parquet inputs + exact row filter on "
+             "--key-col",
     )
     p.set_defaults(fn=cmd_cat)
 
