@@ -886,7 +886,11 @@ def _q_zfile_map_table(spark, sf_dir):
     """Top-level Map TABLE through the V3 container (Serial/Binary/
     Table.hs:46-64): customer as a zebra Map (c_custkey -> c_name) — key
     column + value column walk, strictly-ascending dup-free keys enforced
-    per block (sorted single-partition write), read back in parallel."""
+    per block (sorted single-partition write), read back in parallel.
+    r6: the same files are ALSO read with key_range=(100, 599) — blocks
+    whose ascending key interval misses the range are skipped in-stream
+    (value sections never decompress) and the residual predicate makes
+    the 'range' partition exact; both reads ride one driver row."""
     import shutil
     import tempfile
 
@@ -900,12 +904,17 @@ def _q_zfile_map_table(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="zs_zmap_")
     try:
-        manifest = write_zebra_files(df, out, rows_per_block=1024).collect()
-        return (
-            read_zebra_files(spark, [r["path"] for r in manifest])
-            .orderBy("key")
-            .localCheckpoint()
+        manifest = write_zebra_files(df, out, rows_per_block=128).collect()
+        paths = [r["path"] for r in manifest]
+        full = read_zebra_files(spark, paths).withColumn(
+            "part", F.lit("full")
         )
+        ranged = (
+            read_zebra_files(spark, paths, key_range=(100, 599))
+            .filter(F.col("key").between(100, 599))
+            .withColumn("part", F.lit("range"))
+        )
+        return full.unionByName(ranged).orderBy("part", "key").localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1615,7 +1624,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zebra_file_roundtrip": "SELECT * FROM orders",
         "zfile_map_table": (
-            "SELECT c_custkey AS key, c_name AS value FROM customer ORDER BY key"
+            "SELECT c_custkey AS key, c_name AS value, 'full' AS part "
+            "FROM customer "
+            "UNION ALL "
+            "SELECT c_custkey, c_name, 'range' FROM customer "
+            "WHERE c_custkey BETWEEN 100 AND 599 "
+            "ORDER BY part, key"
         ),
         "zfile_binary_table": (
             "SELECT md5(text) AS h FROM documents ORDER BY h"

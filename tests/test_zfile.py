@@ -357,3 +357,87 @@ def test_corrupt_block_fails_fast_bounded(tmp_path):
                 pass
     # buffer never grew past cap + one chunk refill
     assert rd.max_buffered <= cap + 8192, rd.max_buffered
+
+
+def test_map_table_key_range_block_skipping(spark, tmp_path):
+    """r6: open_zebra_stream/read_zebra_files(key_range=...) skip map-table
+    blocks whose ascending key interval misses the range — only the key
+    column of skipped blocks decodes; value sections (string + array +
+    double here, exercising the _skip_column recursion) are hopped via
+    their size headers.  Stream alignment is implicitly proven: a wrong
+    skip offset would corrupt every subsequent block parse."""
+    import io
+
+    from zebra_spark.operators.zfile import open_zebra_stream
+    from zebra_spark.operators.zschema import MAP_TABLE_META
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False, {MAP_TABLE_META: True}),
+        T.StructField("value", T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("xs", T.ArrayType(T.IntegerType())),
+            T.StructField("score", T.DoubleType()),
+        ])),
+    ])
+
+    def block(b):
+        ks = list(range(10 * b, 10 * b + 10))
+        return pa.RecordBatch.from_pydict({
+            "key": pa.array(ks, pa.int64()),
+            "value": pa.array(
+                [{"name": f"n{k}", "xs": list(range(k % 4)), "score": k / 2}
+                 for k in ks],
+                pa.struct([("name", pa.string()),
+                           ("xs", pa.list_(pa.int32())),
+                           ("score", pa.float64())]),
+            ),
+        })
+
+    data = write_zebra_stream(iter([block(b) for b in range(5)]), schema)
+
+    def ranged(kr):
+        _, blocks, _ = open_zebra_stream(io.BytesIO(data), key_range=kr)
+        got = list(blocks)
+        return pa.Table.from_batches(got) if got else None
+
+    mid = ranged((23, 31))  # intersects blocks 2 and 3 only
+    assert mid.num_rows == 20
+    assert sorted(mid.column("key").to_pylist()) == list(range(20, 40))
+    assert mid.column("value").to_pylist()[0]["name"] == "n20"
+    head = ranged((None, 5))
+    assert head.num_rows == 10 and max(head.column("key").to_pylist()) == 9
+    tail = ranged((41, None))
+    assert tail.num_rows == 10
+    assert ranged((200, 300)) is None  # nothing intersects
+
+    # Spark-level: write files, ranged read == exact filter after residual
+    sdf = spark.createDataFrame(
+        [(int(k), (f"n{k}", list(range(k % 4)), k / 2)) for k in range(50)],
+        schema,
+    ).repartitionByRange(2, "key").sortWithinPartitions("key")
+    out_dir = str(tmp_path / "zmap")
+    write_zebra_files(sdf, out_dir, rows_per_block=10).collect()
+    import glob
+
+    paths = sorted(glob.glob(out_dir + "/*.zebra"))
+    full = read_zebra_files(spark, paths)
+    got = read_zebra_files(spark, paths, key_range=(23, 31)).filter(
+        F.col("key").between(23, 31)
+    )
+    want = full.filter(F.col("key").between(23, 31))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    n_ranged = read_zebra_files(spark, paths, key_range=(23, 31)).count()
+    assert got.count() <= n_ranged < full.count()  # blocks actually skipped
+
+    # non-map tables reject key_range; non-scalar keys reject too
+    from zebra_spark.operators.zschema import BINARY_TABLE_META
+
+    bschema = T.StructType(
+        [T.StructField("value", T.BinaryType(), False, {BINARY_TABLE_META: True})]
+    )
+    bdata = write_zebra_stream(
+        iter([pa.RecordBatch.from_pydict({"value": pa.array([b"xy"], pa.binary())})]),
+        bschema,
+    )
+    with pytest.raises(ValueError, match="map tables"):
+        open_zebra_stream(io.BytesIO(bdata), key_range=(1, 2))

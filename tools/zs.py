@@ -68,9 +68,11 @@ def _read_blocks(spark, path, columns=None, key_range=None):
 
     ``columns``/``key_range`` push into decode_df on the blocks-parquet
     path: unread sections are skipped inside each block, and zone maps
-    drop non-intersecting blocks before the decode UDF.  `.zebra` file
-    inputs carry no zone maps — projection applies post-read and the
-    caller's exact row filter does the range."""
+    drop non-intersecting blocks before the decode UDF.  On `.zebra`
+    map-table inputs, key_range skips blocks in-stream via the ascending
+    key invariant (value sections never decompress); projection applies
+    post-read.  The caller's exact row filter does the range either way
+    (block-granular)."""
     import glob as _glob
 
     from zebra_spark.operators.decode import decode_df
@@ -86,7 +88,10 @@ def _read_blocks(spark, path, columns=None, key_range=None):
     if zfiles:
         from zebra_spark.operators.zfile import read_zebra_files
 
-        df = read_zebra_files(spark, zfiles)
+        # map-table .zebra files skip blocks in-stream via the ascending
+        # key invariant (r6); projection applies post-read (V3 blocks
+        # decode whole)
+        df = read_zebra_files(spark, zfiles, key_range=key_range)
         if columns:
             df = df.select(*columns)
         return None, df

@@ -445,9 +445,84 @@ class _StreamReader:
         return False
 
 
-def _parse_block(mv: memoryview, schema: T.StructType, kind: str):
-    """One V3 block -> (RecordBatch, consumed).  Binary tables come back as
-    ONE row holding the block's bytes (n is the BYTE count)."""
+def _skip_int_array(mv, pos: int) -> int:
+    """Advance past one packed int_array without unpacking (u32 size
+    header, zebra_unpack.c framing)."""
+    if len(mv) < pos + 12:
+        raise ValueError("int_array truncated while skipping")
+    size = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
+    if len(mv) < pos + 12 + size:
+        raise ValueError("int_array truncated while skipping")
+    return pos + 12 + size
+
+
+def _skip_byte_array(mv, pos: int) -> int:
+    """Advance past one snappy byte_array (u32 compressed-size header)."""
+    if len(mv) < pos + 4:
+        raise ValueError("byte_array truncated while skipping")
+    n_comp = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
+    if len(mv) < pos + 4 + n_comp:
+        raise ValueError("byte_array truncated while skipping")
+    return pos + 4 + n_comp
+
+
+def _skip_column(mv, pos: int, n: int, dtype: T.DataType, md: dict | None) -> int:
+    """Advance past one column's wire sections without decompressing —
+    mirror of _decode_column used by key-range block skipping (every
+    variable-size section carries its own size header, and nested counts
+    ride explicit u32s, so no payload ever needs decoding)."""
+    if isinstance(
+        dtype,
+        (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.DateType, T.TimestampType, T.TimestampNTZType,
+            T.FloatType, T.DoubleType, T.BooleanType,
+        ),
+    ):
+        return _skip_int_array(mv, pos)
+    if isinstance(dtype, (T.StringType, T.BinaryType)):
+        pos = _skip_int_array(mv, pos)  # lengths
+        return _skip_byte_array(mv, pos + 4)  # u32 byte count + bytes
+    if isinstance(dtype, T.ArrayType):
+        pos = _skip_int_array(mv, pos)  # lengths
+        inner_n = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
+        return _skip_column(mv, pos + 4, inner_n, dtype.elementType, None)
+    if isinstance(dtype, T.MapType):
+        pos = _skip_int_array(mv, pos)
+        inner_n = int(np.frombuffer(mv[pos : pos + 4], dtype="<u4")[0])
+        pos = _skip_column(mv, pos + 4, inner_n, dtype.keyType, None)
+        return _skip_column(mv, pos, inner_n, dtype.valueType, None)
+    if isinstance(dtype, T.StructType):
+        layout = _is_enum(dtype, md)
+        if layout is not None:
+            pos = _skip_int_array(mv, pos)  # tags
+            for vname, is_unit in layout:
+                if is_unit:
+                    continue
+                vf = dtype[f"v_{vname}"]
+                pos = _skip_column(mv, pos, n, vf.dataType, vf.metadata)
+            return pos
+        for f in dtype.fields:
+            pos = _skip_column(mv, pos, n, f.dataType, f.metadata)
+        return pos
+    raise NotImplementedError(f"zebra file: unsupported type {dtype}")
+
+
+_RANGE_KEY_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType,
+)
+
+
+def _parse_block(mv: memoryview, schema: T.StructType, kind: str, key_range=None):
+    """One V3 block -> (RecordBatch_or_None, consumed).  Binary tables come
+    back as ONE row holding the block's bytes (n is the BYTE count).
+
+    ``key_range=(lo, hi)`` (map tables only, scalar int/string keys): the
+    KEY column decodes first; when the block's [first, last] key interval
+    (keys are ascending per block — zebra's map invariant) misses the
+    range, the VALUE sections are SKIPPED without decompression and the
+    block yields None — the file-container analogue of decode_df's
+    zone-map skipping."""
     if len(mv) < 4:
         raise ValueError("zebra block truncated: no row count")
     n = int(np.frombuffer(mv[:4], dtype="<u4")[0])
@@ -459,26 +534,58 @@ def _parse_block(mv: memoryview, schema: T.StructType, kind: str):
         return pa.RecordBatch.from_arrays([arr], names=["value"]), pos
     pos = 4
     arrays = []
-    for f in schema.fields:
+    fields = list(schema.fields)
+    checked_keys = False
+    if key_range is not None and kind == "map":
+        f0 = fields[0]
+        if not isinstance(f0.dataType, _RANGE_KEY_TYPES):
+            raise ValueError(
+                "key_range requires a scalar int/string map key, got "
+                f"{f0.dataType.simpleString()}"
+            )
+        keys, pos = _decode_column(mv, pos, n, f0.dataType, f0.metadata)
+        _check_map_table_keys(keys)
+        checked_keys = True
+        lo, hi = key_range
+        if n and (
+            (hi is not None and keys[0].as_py() > hi)
+            or (lo is not None and keys[-1].as_py() < lo)
+        ):
+            for f in fields[1:]:
+                pos = _skip_column(mv, pos, n, f.dataType, f.metadata)
+            return None, pos
+        arrays.append(keys)
+        fields = fields[1:]
+    for f in fields:
         arr, pos = _decode_column(mv, pos, n, f.dataType, f.metadata)
         arrays.append(arr)
     rb = pa.RecordBatch.from_arrays(arrays, names=[f.name for f in schema.fields])
-    if kind == "map":
+    if kind == "map" and not checked_keys:
         _check_map_table_keys(rb.column("key"))
     return rb, pos
 
 
-def open_zebra_stream(f, chunk_bytes: int = 1 << 20):
+def open_zebra_stream(f, chunk_bytes: int = 1 << 20, key_range=None):
     """-> (spark schema, iterator of RecordBatch) over an open binary file,
     reading in bounded increments (peak memory ~ one block + chunk_bytes,
-    independent of file size)."""
+    independent of file size).
+
+    ``key_range=(lo, hi)``: map tables only — blocks whose ascending key
+    interval misses the range are skipped (value sections never
+    decompress) and do not appear in the iterator; surviving blocks may
+    still carry out-of-range rows (block-granular, apply the exact
+    predicate downstream)."""
     rd = _StreamReader(f, chunk_bytes)
     schema = rd.parse(_read_header)  # returns (schema, consumed)
     kind = _table_kind_of(schema)
+    if key_range is not None and kind != "map":
+        raise ValueError(f"key_range applies to map tables, not {kind}")
 
     def batches():
         while not rd.at_eof():
-            yield rd.parse(lambda mv: _parse_block(mv, schema, kind))
+            rb = rd.parse(lambda mv: _parse_block(mv, schema, kind, key_range))
+            if rb is not None:
+                yield rb
 
     return schema, batches(), rd
 
@@ -544,13 +651,21 @@ def write_zebra_files(df, out_dir: str, rows_per_block: int = 1 << 16):
     return df.mapInArrow(run, schema="path string, n_rows long, n_bytes long")
 
 
-def read_zebra_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
+def read_zebra_files(
+    spark, paths: list[str], chunk_bytes: int = 1 << 20, key_range=None
+):
     """Parallel read of zebra V3 files back into a DataFrame.
 
     Each task streams its file in ``chunk_bytes`` increments and yields
     per-block batches as they parse — peak memory is one block + one chunk,
     not the file size, and downstream operators start before the file
-    finishes."""
+    finishes.
+
+    ``key_range=(lo, hi)``: map tables with scalar int/string keys —
+    blocks whose key interval misses the range are skipped in-stream
+    (only the key column decodes; value payloads never decompress), the
+    file-read analogue of decode_df's zone-map skipping.  Apply the exact
+    row predicate downstream (block-granular)."""
     first_schema = read_zebra_header(paths[0])
     pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         max(1, len(paths))
@@ -560,7 +675,7 @@ def read_zebra_files(spark, paths: list[str], chunk_bytes: int = 1 << 20):
         for rb in batches:
             for p in rb.column("path").to_pylist():
                 with open(p, "rb") as f:
-                    _, blocks, _ = open_zebra_stream(f, chunk_bytes)
+                    _, blocks, _ = open_zebra_stream(f, chunk_bytes, key_range)
                     yield from blocks
 
     return pdf.mapInArrow(run, schema=first_schema)
