@@ -377,6 +377,7 @@ def test_map_table_key_range_block_skipping(spark, tmp_path):
             T.StructField("name", T.StringType()),
             T.StructField("xs", T.ArrayType(T.IntegerType())),
             T.StructField("score", T.DoubleType()),
+            T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
         ])),
     ])
 
@@ -385,11 +386,13 @@ def test_map_table_key_range_block_skipping(spark, tmp_path):
         return pa.RecordBatch.from_pydict({
             "key": pa.array(ks, pa.int64()),
             "value": pa.array(
-                [{"name": f"n{k}", "xs": list(range(k % 4)), "score": k / 2}
+                [{"name": f"n{k}", "xs": list(range(k % 4)), "score": k / 2,
+                  "m": {f"a{k}": k, f"b{k}": k + 1}}
                  for k in ks],
                 pa.struct([("name", pa.string()),
                            ("xs", pa.list_(pa.int32())),
-                           ("score", pa.float64())]),
+                           ("score", pa.float64()),
+                           ("m", pa.map_(pa.string(), pa.int32()))]),
             ),
         })
 
@@ -412,7 +415,10 @@ def test_map_table_key_range_block_skipping(spark, tmp_path):
 
     # Spark-level: write files, ranged read == exact filter after residual
     sdf = spark.createDataFrame(
-        [(int(k), (f"n{k}", list(range(k % 4)), k / 2)) for k in range(50)],
+        [
+            (int(k), (f"n{k}", list(range(k % 4)), k / 2, {f"a{k}": k}))
+            for k in range(50)
+        ],
         schema,
     ).repartitionByRange(2, "key").sortWithinPartitions("key")
     out_dir = str(tmp_path / "zmap")
@@ -421,10 +427,22 @@ def test_map_table_key_range_block_skipping(spark, tmp_path):
 
     paths = sorted(glob.glob(out_dir + "/*.zebra"))
     full = read_zebra_files(spark, paths)
-    got = read_zebra_files(spark, paths, key_range=(23, 31)).filter(
-        F.col("key").between(23, 31)
+
+    def norm(df):  # set-ops reject map columns: entries-normalize first
+        return df.select(
+            "key",
+            F.col("value.name").alias("name"),
+            F.col("value.xs").alias("xs"),
+            F.col("value.score").alias("score"),
+            F.array_sort(F.map_entries("value.m")).alias("m"),
+        )
+
+    got = norm(
+        read_zebra_files(spark, paths, key_range=(23, 31)).filter(
+            F.col("key").between(23, 31)
+        )
     )
-    want = full.filter(F.col("key").between(23, 31))
+    want = norm(full.filter(F.col("key").between(23, 31)))
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     n_ranged = read_zebra_files(spark, paths, key_range=(23, 31)).count()
     assert got.count() <= n_ranged < full.count()  # blocks actually skipped
