@@ -382,8 +382,10 @@ def _q_media_features(spark, sf_dir):
                 payloads.append(ppm_image(img))
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array([str(int(k)) for k in ks]),
-                    pa.array(["image/ppm"] * len(ks)),
+                    # explicit types: an empty batch would infer pa.null()
+                    # and fail mapInArrow's schema check
+                    pa.array([str(int(k)) for k in ks], pa.string()),
+                    pa.array(["image/ppm"] * len(ks), pa.string()),
                     pa.array(payloads, type=pa.binary()),
                     pa.nulls(
                         len(ks),
@@ -400,7 +402,9 @@ def _q_media_features(spark, sf_dir):
                 names=["media_id", "kind", "payload", "meta"],
             )
 
-    media = docs.mapInArrow(gen, schema=MEDIA_DDL)
+    # two consumers (features + stats) and a join: checkpoint so the
+    # payload synthesis runs once, not per branch
+    media = docs.mapInArrow(gen, schema=MEDIA_DDL).localCheckpoint()
     feats = extract_features(media).select("media_id", "n_bytes")
     stats = image_stats(media).select(
         "media_id",

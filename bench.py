@@ -234,10 +234,10 @@ class GrantGate:
 class BenchWorker:
     """Client for a persistent tools/bench_worker.py subprocess: one
     resident local[N] SparkSession serving timed encode legs on demand.
-    Keeping both level JVMs alive puts all four legs of a palindrome
-    iteration back-to-back inside one host-budget window (the old
-    session-per-leg protocol paid ~10-20 s of untimed JVM startup between
-    legs, letting the window shift mid-iteration)."""
+    Keeping both level JVMs alive puts the (hi, lo, hi) legs of a
+    palindrome iteration back-to-back inside one host-budget window (the
+    old session-per-leg protocol paid ~10-20 s of untimed JVM startup
+    between legs, letting the window shift mid-iteration)."""
 
     def __init__(self, cpus: int, path: str):
         import subprocess

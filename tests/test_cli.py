@@ -57,6 +57,19 @@ def test_cli_roundtrip_and_commands(spark, tmp_path, capsys):
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == docs.filter("doc_id <= 5").count()
 
+    # string-keyed table: bounds must stay strings (typed from the actual
+    # key column, never int-coerced)
+    sblocks = str(tmp_path / "sblocks")
+    encode_df(
+        docs.orderBy("source"), rows_per_block=64, key_col="source"
+    ).write.parquet(sblocks)
+    zs.main([
+        "cat", "--input", sblocks,
+        "--key-col", "source", "--key-range", "code:code",
+    ])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == docs.filter("source = 'code'").count()
+
     # summary emits one JSON object with the totals
     zs.main(["summary", "--input", blocks_dir])
     s = json.loads(capsys.readouterr().out.strip())

@@ -285,7 +285,8 @@ def test_image_stats_all_formats(spark):
         ("junk", bytearray(b"\x89PNG not decodable")),
     ]
     media = spark.createDataFrame(
-        [(mid, "image", bytes(p), None) for mid, p in rows],
+        [(mid, "image", bytes(p), None) for mid, p in rows]
+        + [("nullpay", "image", None, None)],
         "media_id string, kind string, payload binary, "
         "meta struct<height:int,width:int,channels:int,duration_ms:int>",
     )
@@ -305,3 +306,6 @@ def test_image_stats_all_formats(spark):
     junk = got["junk"]
     assert junk["height"] is None and junk["channel_sums"] is None
     assert junk["n_bytes"] == len(rows[3][1])
+    # NULL payload is distinguishable from a 0-byte payload
+    np_row = got["nullpay"]
+    assert np_row["n_bytes"] is None and np_row["height"] is None

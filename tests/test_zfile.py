@@ -459,3 +459,11 @@ def test_map_table_key_range_block_skipping(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="map tables"):
         open_zebra_stream(io.BytesIO(bdata), key_range=(1, 2))
+    # bound/key type mismatch fails fast with a clear error — driver-side
+    # for read_zebra_files, stream-open-time for open_zebra_stream (NOT
+    # inside the block parse, where _StreamReader would treat the
+    # ValueError as a truncation signal and buffer the whole file)
+    with pytest.raises(ValueError, match="does not match"):
+        open_zebra_stream(io.BytesIO(data), key_range=("a", "b"))
+    with pytest.raises(ValueError, match="does not match"):
+        read_zebra_files(spark, paths, key_range=("a", None))

@@ -5,7 +5,7 @@ then serves RUN commands on stdin — one timed encode pass per command,
 one JSON result line on stdout.  Keeping the JVM alive across legs
 removes the ~10-20 s of untimed session startup that used to sit between
 every two legs of a palindrome iteration: with both level workers
-resident, a full (hi, lo, lo, hi) iteration runs back-to-back inside one
+resident, a full (hi, lo, hi) iteration runs back-to-back inside one
 host-budget window instead of spanning several (BENCH/BASELINE.md §3 —
 the sandbox's core grant shifts on multi-minute scales).
 

@@ -102,19 +102,28 @@ def _read_blocks(spark, path, columns=None, key_range=None):
     )
 
 
-def _parse_key_range(s):
-    """'LO:HI' -> (lo, hi); either side empty = unbounded; values that
-    parse as ints compare numerically against the zone maps."""
+def _parse_key_range(s, numeric: bool):
+    """'LO:HI' -> (lo, hi); either side empty = unbounded.  ``numeric``
+    comes from the KEY COLUMN's actual type — bounds must be typed like
+    the keys, or the comparison is garbage both against the zone maps
+    (int keys pad via _key_str; string keys compare naturally — int-
+    coercing digit-string bounds would drop every block) and against
+    .zebra map keys (str-vs-int compares raise)."""
 
     lo, _, hi = s.partition(":")
 
     def cv(x):
         if x == "":
             return None
+        if not numeric:
+            return x
         try:
             return int(x)
         except ValueError:
-            return x
+            raise SystemExit(
+                f"--key-range bound {x!r} is not an integer but the key "
+                "column is numeric"
+            )
 
     return cv(lo), cv(hi)
 
@@ -225,12 +234,33 @@ def cmd_cat(args):
         if getattr(args, "key_range", None):
             if not args.key_col:
                 raise SystemExit("--key-range requires --key-col")
-            kr = _parse_key_range(args.key_range)
+            # type the bounds like the ACTUAL key column (schema peek is
+            # one tiny metadata lookup; the frame itself stays lazy)
+            from pyspark.sql import types as T
+
+            probe_blocks, probe = _read_blocks(spark, args.input)
+            if args.key_col not in probe.columns:
+                raise SystemExit(f"--key-col {args.key_col!r} not in table")
+            numeric = isinstance(
+                probe.schema[args.key_col].dataType, T.NumericType
+            )
+            kr = _parse_key_range(args.key_range, numeric)
+            # .zebra inputs skip blocks on the MAP KEY column (field 0);
+            # if the filter column is anything else, skip nothing and let
+            # the exact row filter do all the work.  (Blocks-parquet zone
+            # maps come from the encode-time key_col — passing a
+            # different column is the caller's contract, as in decode_df.)
+            push_kr = kr
+            if probe_blocks is None and args.key_col != probe.columns[0]:
+                push_kr = None
             # the key column must be decoded for the exact row filter;
             # project it in, then drop it if the user didn't ask for it
             if cols and args.key_col not in cols:
                 cols = cols + [args.key_col]
-        _, df = _read_blocks(spark, args.input, columns=cols, key_range=kr)
+        _, df = _read_blocks(
+            spark, args.input, columns=cols,
+            key_range=push_kr if kr else None,
+        )
         if kr:
             from pyspark.sql import functions as F
 

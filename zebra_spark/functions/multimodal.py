@@ -307,7 +307,10 @@ def image_stats(media: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column("media_id"),
-                    pa.array(lengths, type=pa.int64()),
+                    # NULL payload -> NULL n_bytes (Arrow offsets report a
+                    # null slot as length 0, indistinguishable from a real
+                    # 0-byte payload without the mask)
+                    pa.array(lengths, type=pa.int64(), mask=is_null),
                     pa.array(
                         np.where(ok, hs, 0).astype(np.int32), mask=~ok
                     ),

@@ -513,6 +513,27 @@ _RANGE_KEY_TYPES = (
 )
 
 
+def _validate_key_range(schema: T.StructType, kind: str, key_range) -> None:
+    """key_range preconditions: map table, scalar int/string key, bounds
+    typed like the key (a str-vs-int compare in the block walk would
+    surface as an opaque executor TypeError)."""
+    if kind != "map":
+        raise ValueError(f"key_range applies to map tables, not {kind}")
+    f0 = schema.fields[0]
+    if not isinstance(f0.dataType, _RANGE_KEY_TYPES):
+        raise ValueError(
+            "key_range requires a scalar int/string map key, got "
+            f"{f0.dataType.simpleString()}"
+        )
+    want = str if isinstance(f0.dataType, T.StringType) else int
+    for b in key_range:
+        if b is not None and not isinstance(b, want):
+            raise ValueError(
+                f"key_range bound {b!r} does not match the "
+                f"{f0.dataType.simpleString()} map key"
+            )
+
+
 def _parse_block(mv: memoryview, schema: T.StructType, kind: str, key_range=None):
     """One V3 block -> (RecordBatch_or_None, consumed).  Binary tables come
     back as ONE row holding the block's bytes (n is the BYTE count).
@@ -578,8 +599,13 @@ def open_zebra_stream(f, chunk_bytes: int = 1 << 20, key_range=None):
     rd = _StreamReader(f, chunk_bytes)
     schema = rd.parse(_read_header)  # returns (schema, consumed)
     kind = _table_kind_of(schema)
-    if key_range is not None and kind != "map":
-        raise ValueError(f"key_range applies to map tables, not {kind}")
+    if key_range is not None:
+        # validate HERE, not inside the block parse: _StreamReader.parse
+        # treats a ValueError from its parse_fn as a truncation signal and
+        # keeps buffering — an unsupported-key error raised mid-stream
+        # would buffer the whole file before surfacing as a misleading
+        # corruption message
+        _validate_key_range(schema, kind, key_range)
 
     def batches():
         while not rd.at_eof():
@@ -667,6 +693,11 @@ def read_zebra_files(
     file-read analogue of decode_df's zone-map skipping.  Apply the exact
     row predicate downstream (block-granular)."""
     first_schema = read_zebra_header(paths[0])
+    if key_range is not None:
+        # fail fast driver-side; the same check guards each file's stream
+        _validate_key_range(
+            first_schema, _table_kind_of(first_schema), key_range
+        )
     pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         max(1, len(paths))
     )
