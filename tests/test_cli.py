@@ -70,6 +70,16 @@ def test_cli_roundtrip_and_commands(spark, tmp_path, capsys):
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == docs.filter("source = 'code'").count()
 
+    # range EXPORT shares the same pushdown path
+    rexp = str(tmp_path / "rexp")
+    zs.main([
+        "export", "--input", blocks_dir, "--output", rexp,
+        "--columns", "doc_id,lang", "--key-col", "doc_id",
+        "--key-range", "10:29",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["exported_rows"] == docs.filter("doc_id between 10 and 29").count()
+
     # summary emits one JSON object with the totals
     zs.main(["summary", "--input", blocks_dir])
     s = json.loads(capsys.readouterr().out.strip())

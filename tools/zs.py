@@ -179,7 +179,7 @@ def cmd_export(args):
     from zebra_spark.operators.textio import export_json
 
     spark = _spark(args)
-    _, df = _read_blocks(spark, args.input)
+    df = _ranged_read(spark, args)
     if args.schema_stdout:
         from zebra_spark.operators.zschema import to_zschema
 
@@ -229,51 +229,58 @@ def cmd_cat(args):
             )
         df = block_manifest(blocks).orderBy("part_start", "key_min")
     else:
-        cols = args.columns.split(",") if args.columns else None
-        kr = None
-        if getattr(args, "key_range", None):
-            if not args.key_col:
-                raise SystemExit("--key-range requires --key-col")
-            # type the bounds like the ACTUAL key column (schema peek is
-            # one tiny metadata lookup; the frame itself stays lazy)
-            from pyspark.sql import types as T
-
-            probe_blocks, probe = _read_blocks(spark, args.input)
-            if args.key_col not in probe.columns:
-                raise SystemExit(f"--key-col {args.key_col!r} not in table")
-            numeric = isinstance(
-                probe.schema[args.key_col].dataType, T.NumericType
-            )
-            kr = _parse_key_range(args.key_range, numeric)
-            # .zebra inputs skip blocks on the MAP KEY column (field 0);
-            # if the filter column is anything else, skip nothing and let
-            # the exact row filter do all the work.  (Blocks-parquet zone
-            # maps come from the encode-time key_col — passing a
-            # different column is the caller's contract, as in decode_df.)
-            push_kr = kr
-            if probe_blocks is None and args.key_col != probe.columns[0]:
-                push_kr = None
-            # the key column must be decoded for the exact row filter;
-            # project it in, then drop it if the user didn't ask for it
-            if cols and args.key_col not in cols:
-                cols = cols + [args.key_col]
-        _, df = _read_blocks(
-            spark, args.input, columns=cols,
-            key_range=push_kr if kr else None,
-        )
-        if kr:
-            from pyspark.sql import functions as F
-
-            lo, hi = kr
-            if lo is not None:
-                df = df.filter(F.col(args.key_col) >= lo)
-            if hi is not None:
-                df = df.filter(F.col(args.key_col) <= hi)
-            if args.columns and args.key_col not in args.columns.split(","):
-                df = df.select(*args.columns.split(","))
+        df = _ranged_read(spark, args)
     rows = df.limit(args.limit).toJSON().collect() if args.limit else df.toJSON().collect()
     for r in rows:
         print(r)
+
+
+def _ranged_read(spark, args):
+    """Shared cat/export read: projection + optional exact key-range
+    (zone-map / in-stream block skipping pushed down where the input
+    supports it)."""
+    requested = getattr(args, "columns", None)
+    cols = requested.split(",") if requested else None
+    kr = None
+    push_kr = None
+    if getattr(args, "key_range", None):
+        if not args.key_col:
+            raise SystemExit("--key-range requires --key-col")
+        # type the bounds like the ACTUAL key column (schema peek is
+        # one tiny metadata lookup; the frame itself stays lazy)
+        from pyspark.sql import types as T
+
+        probe_blocks, probe = _read_blocks(spark, args.input)
+        if args.key_col not in probe.columns:
+            raise SystemExit(f"--key-col {args.key_col!r} not in table")
+        numeric = isinstance(
+            probe.schema[args.key_col].dataType, T.NumericType
+        )
+        kr = _parse_key_range(args.key_range, numeric)
+        # .zebra inputs skip blocks on the MAP KEY column (field 0);
+        # if the filter column is anything else, skip nothing and let
+        # the exact row filter do all the work.  (Blocks-parquet zone
+        # maps come from the encode-time key_col — passing a
+        # different column is the caller's contract, as in decode_df.)
+        push_kr = kr
+        if probe_blocks is None and args.key_col != probe.columns[0]:
+            push_kr = None
+        # the key column must be decoded for the exact row filter;
+        # project it in, then drop it if the user didn't ask for it
+        if cols and args.key_col not in cols:
+            cols = cols + [args.key_col]
+    _, df = _read_blocks(spark, args.input, columns=cols, key_range=push_kr)
+    if kr:
+        from pyspark.sql import functions as F
+
+        lo, hi = kr
+        if lo is not None:
+            df = df.filter(F.col(args.key_col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(args.key_col) <= hi)
+        if requested and args.key_col not in requested.split(","):
+            df = df.select(*requested.split(","))
+    return df
 
 
 def cmd_merge(args):
@@ -580,6 +587,12 @@ def main(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--output", default=None)
     p.add_argument("--format", choices=["json", "ztxt"], default="json")
+    p.add_argument("--columns", default=None, help="comma list projection")
+    p.add_argument("--key-col", default=None,
+                   help="key column for --key-range's exact row filter")
+    p.add_argument("--key-range", default=None,
+                   help="LO:HI range export (block skipping pushed down "
+                        "where the input supports it)")
     p.add_argument("--output-stdout", action="store_true",
                    help="print ztxt data lines to stdout (zebra export --output-stdout)")
     p.add_argument("--schema-stdout", action="store_true",
