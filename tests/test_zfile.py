@@ -467,3 +467,99 @@ def test_map_table_key_range_block_skipping(spark, tmp_path):
         open_zebra_stream(io.BytesIO(data), key_range=("a", "b"))
     with pytest.raises(ValueError, match="does not match"):
         read_zebra_files(spark, paths, key_range=("a", None))
+
+
+# --- property: _skip_column stays wire-aligned for every supported type ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+def _value_dtype(depth: int):
+    scalars = hst.sampled_from(["long", "double", "bool", "string"])
+    if depth == 0:
+        return scalars
+    sub = _value_dtype(depth - 1)
+    return hst.one_of(
+        scalars,
+        hst.tuples(hst.just("array"), sub),
+        hst.tuples(hst.just("map"), sub),
+        hst.lists(sub, min_size=1, max_size=3).map(lambda fs: ("struct", fs)),
+    )
+
+
+def _build_value(spec, n, rng):
+    """(spark dtype, pa array of n rows) for a random value spec."""
+    if spec == "long":
+        return T.LongType(), pa.array(
+            rng.integers(-(10**6), 10**6, n), pa.int64()
+        )
+    if spec == "double":
+        return T.DoubleType(), pa.array(rng.normal(size=n), pa.float64())
+    if spec == "bool":
+        return T.BooleanType(), pa.array(rng.integers(0, 2, n) != 0)
+    if spec == "string":
+        return T.StringType(), pa.array(
+            [f"s{v}" * (v % 3) for v in rng.integers(0, 50, n)], pa.string()
+        )
+    kind = spec[0]
+    if kind == "array":
+        lens = rng.integers(0, 4, n)
+        et, child = _build_value(spec[1], int(lens.sum()), rng)
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        arr = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), child)
+        return T.ArrayType(et), arr.cast(pa.list_(child.type))
+    if kind == "map":
+        lens = rng.integers(0, 3, n)
+        total = int(lens.sum())
+        vt, vals = _build_value(spec[1], total, rng)
+        # per-row ascending dup-free keys (zebra map invariant)
+        keys = pa.array(
+            [f"k{j}" for L in lens for j in range(int(L))], pa.string()
+        )
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        arr = pa.MapArray.from_arrays(pa.array(offs, pa.int32()), keys, vals)
+        return T.MapType(T.StringType(), vt), arr
+    # struct
+    fields, children, names = [], [], []
+    for i, sub in enumerate(spec[1]):
+        st_, ch = _build_value(sub, n, rng)
+        fields.append(T.StructField(f"f{i}", st_))
+        children.append(ch)
+        names.append(f"f{i}")
+    return T.StructType(fields), pa.StructArray.from_arrays(children, names=names)
+
+
+@given(spec=_value_dtype(2), seed=hst.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_skip_column_alignment_property(spec, seed):
+    """For ANY supported value schema, a ranged read that skips blocks 0
+    and 2 must return exactly block 1's rows — a single wrong skip offset
+    would corrupt the next block's parse or change the rows."""
+    import io
+
+    from zebra_spark.operators.zfile import open_zebra_stream
+    from zebra_spark.operators.zschema import MAP_TABLE_META
+
+    rng = np.random.default_rng(seed)
+    vt, _probe = _build_value(spec, 1, rng)
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False, {MAP_TABLE_META: True}),
+        T.StructField("value", vt),
+    ])
+    blocks = []
+    for b in range(3):
+        _, vals = _build_value(spec, 10, rng)
+        blocks.append(
+            pa.RecordBatch.from_arrays(
+                [pa.array(list(range(10 * b, 10 * b + 10)), pa.int64()), vals],
+                names=["key", "value"],
+            )
+        )
+    data = write_zebra_stream(iter(blocks), schema)
+    _, full, _ = open_zebra_stream(io.BytesIO(data))
+    want = list(full)[1]
+    _, ranged, _ = open_zebra_stream(io.BytesIO(data), key_range=(12, 18))
+    got = list(ranged)
+    assert len(got) == 1
+    assert got[0].equals(want)
