@@ -70,6 +70,18 @@ def test_cli_roundtrip_and_commands(spark, tmp_path, capsys):
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == docs.filter("source = 'code'").count()
 
+    # point-lookup via per-block Bloom filters (opt-in at encode)
+    bblocks = str(tmp_path / "bblocks")
+    encode_df(
+        docs, rows_per_block=64, key_col="doc_id", key_bloom=True
+    ).write.parquet(bblocks)
+    zs.main([
+        "cat", "--input", bblocks,
+        "--key-col", "doc_id", "--key-equals", "7,42",
+    ])
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["doc_id"] for r in lines) == [7, 42]
+
     # range EXPORT shares the same pushdown path
     rexp = str(tmp_path / "rexp")
     zs.main([

@@ -61,7 +61,7 @@ def _spark(args):
     return spark
 
 
-def _read_blocks(spark, path, columns=None, key_range=None):
+def _read_blocks(spark, path, columns=None, key_range=None, key_equals=None):
     """(blocks_frame_or_None, decoded_df) for a blocks-parquet dir OR a
     directory of `||ZEBRA||00003||` files / a single .zebra file (the
     reference CLI operates on zbin files directly; so do we).
@@ -90,7 +90,7 @@ def _read_blocks(spark, path, columns=None, key_range=None):
 
         # map-table .zebra files skip blocks in-stream via the ascending
         # key invariant (r6); projection applies post-read (V3 blocks
-        # decode whole)
+        # decode whole); key_equals has no .zebra pushdown (no blooms)
         df = read_zebra_files(spark, zfiles, key_range=key_range)
         if columns:
             df = df.select(*columns)
@@ -98,7 +98,11 @@ def _read_blocks(spark, path, columns=None, key_range=None):
     blocks = spark.read.parquet(path)
     # stored blocks may have been shuffled: resolve schema ids up front
     return blocks, decode_df(
-        blocks, resolve_schemas=True, columns=columns, key_range=key_range
+        blocks,
+        resolve_schemas=True,
+        columns=columns,
+        key_range=key_range,
+        key_equals=key_equals,
     )
 
 
@@ -236,18 +240,20 @@ def cmd_cat(args):
 
 
 def _ranged_read(spark, args):
-    """Shared cat/export read: projection + optional exact key-range
-    (zone-map / in-stream block skipping pushed down where the input
-    supports it)."""
+    """Shared cat/export read: projection + optional exact key predicates
+    (--key-range zone maps / in-stream skipping, --key-equals Bloom
+    point-lookup skipping), pushed down where the input supports them."""
     requested = getattr(args, "columns", None)
     cols = requested.split(",") if requested else None
-    kr = None
-    push_kr = None
-    if getattr(args, "key_range", None):
+    kr_arg = getattr(args, "key_range", None)
+    keq_arg = getattr(args, "key_equals", None)
+    kr = keq = None
+    push_kr = push_keq = None
+    if kr_arg or keq_arg:
         if not args.key_col:
-            raise SystemExit("--key-range requires --key-col")
-        # type the bounds like the ACTUAL key column (schema peek is
-        # one tiny metadata lookup; the frame itself stays lazy)
+            raise SystemExit("--key-range/--key-equals require --key-col")
+        # type the bounds/values like the ACTUAL key column (schema peek
+        # is one tiny metadata lookup; the frame itself stays lazy)
         from pyspark.sql import types as T
 
         probe_blocks, probe = _read_blocks(spark, args.input)
@@ -256,28 +262,43 @@ def _ranged_read(spark, args):
         numeric = isinstance(
             probe.schema[args.key_col].dataType, T.NumericType
         )
-        kr = _parse_key_range(args.key_range, numeric)
-        # .zebra inputs skip blocks on the MAP KEY column (field 0);
-        # if the filter column is anything else, skip nothing and let
-        # the exact row filter do all the work.  (Blocks-parquet zone
-        # maps come from the encode-time key_col — passing a
-        # different column is the caller's contract, as in decode_df.)
-        push_kr = kr
-        if probe_blocks is None and args.key_col != probe.columns[0]:
-            push_kr = None
+        if kr_arg:
+            kr = _parse_key_range(kr_arg, numeric)
+            # .zebra inputs skip blocks on the MAP KEY column (field 0);
+            # if the filter column is anything else, skip nothing and let
+            # the exact row filter do all the work.  (Blocks-parquet zone
+            # maps come from the encode-time key_col — passing a
+            # different column is the caller's contract, as in decode_df.)
+            push_kr = kr
+            if probe_blocks is None and args.key_col != probe.columns[0]:
+                push_kr = None
+        if keq_arg:
+            keq = [
+                int(v) if numeric else v for v in keq_arg.split(",") if v != ""
+            ]
+            if not keq:
+                raise SystemExit("--key-equals: no values")
+            # blooms live only on blocks-parquet inputs (opt-in at
+            # encode); decode_df passes NULL-bloom blocks through
+            push_keq = keq if probe_blocks is not None else None
         # the key column must be decoded for the exact row filter;
         # project it in, then drop it if the user didn't ask for it
         if cols and args.key_col not in cols:
             cols = cols + [args.key_col]
-    _, df = _read_blocks(spark, args.input, columns=cols, key_range=push_kr)
-    if kr:
+    _, df = _read_blocks(
+        spark, args.input, columns=cols, key_range=push_kr, key_equals=push_keq
+    )
+    if kr or keq:
         from pyspark.sql import functions as F
 
-        lo, hi = kr
-        if lo is not None:
-            df = df.filter(F.col(args.key_col) >= lo)
-        if hi is not None:
-            df = df.filter(F.col(args.key_col) <= hi)
+        if kr:
+            lo, hi = kr
+            if lo is not None:
+                df = df.filter(F.col(args.key_col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(args.key_col) <= hi)
+        if keq:
+            df = df.filter(F.col(args.key_col).isin(keq))
         if requested and args.key_col not in requested.split(","):
             df = df.select(*requested.split(","))
     return df
@@ -593,6 +614,8 @@ def main(argv=None):
     p.add_argument("--key-range", default=None,
                    help="LO:HI range export (block skipping pushed down "
                         "where the input supports it)")
+    p.add_argument("--key-equals", default=None,
+                   help="comma list of key values (Bloom skipping + exact filter)")
     p.add_argument("--output-stdout", action="store_true",
                    help="print ztxt data lines to stdout (zebra export --output-stdout)")
     p.add_argument("--schema-stdout", action="store_true",
@@ -616,6 +639,11 @@ def main(argv=None):
         help="LO:HI (either side empty = unbounded): zone-map block "
              "skipping on blocks-parquet inputs + exact row filter on "
              "--key-col",
+    )
+    p.add_argument(
+        "--key-equals", default=None,
+        help="comma list of key values: Bloom point-lookup block skipping "
+             "(blocks encoded with key_bloom=True) + exact row filter",
     )
     p.set_defaults(fn=cmd_cat)
 

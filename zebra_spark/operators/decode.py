@@ -135,6 +135,31 @@ def zone_map_filter(blocks: DataFrame, key_range) -> DataFrame:
     return blocks.filter(F.col("key_min").isNull() | cond)
 
 
+def bloom_filter_blocks(blocks: DataFrame, key_equals) -> DataFrame:
+    """Point-lookup block skipping on the per-block key Bloom filters
+    (codec/bloom.py; written by ``encode_df(key_bloom=True)``).
+
+    ``key_equals``: one lookup value or a list — a block survives when ANY
+    value might be present.  Blocks without a filter (NULL key_bloom —
+    encoded before the opt-in, or without it) always survive: nothing is
+    known about them.  Pure Catalyst: k constant-hash probes per value,
+    `element_at` + bit masks inside whole-stage codegen — complements zone
+    maps, which only skip when the layout clusters the key."""
+    from ..codec.bloom import bloom_might_contain_expr
+
+    if "key_bloom" not in blocks.columns:
+        # blocks stored before the bloom column existed: nothing is known,
+        # nothing can be skipped
+        return blocks
+    values = key_equals if isinstance(key_equals, (list, tuple)) else [key_equals]
+    if not values:
+        raise ValueError("key_equals: need at least one lookup value")
+    cond = bloom_might_contain_expr(F.col("key_bloom"), values[0])
+    for v in values[1:]:
+        cond = cond | bloom_might_contain_expr(F.col("key_bloom"), v)
+    return blocks.filter(cond)
+
+
 def decode_df(
     blocks: DataFrame,
     schema=None,
@@ -143,6 +168,7 @@ def decode_df(
     validate_maps: bool = False,
     resolve_schemas: bool = False,
     key_range=None,
+    key_equals=None,
 ) -> DataFrame:
     """Decode a blocks DataFrame back to the original rows.
 
@@ -174,8 +200,14 @@ def decode_df(
     after decode.  Forces ``resolve_schemas`` (the filter may drop the
     schema-bearing row of a task), so the blocks should be materialized,
     not a lazily chained encode.
+
+    ``key_equals``: one value or a list — point-lookup block skipping on
+    the per-block key Bloom filters (``encode_df(key_bloom=True)``);
+    NULL-filter blocks never skip, false positives only decode an extra
+    block, false negatives cannot happen.  Same residual-predicate and
+    resolve_schemas contract as ``key_range``; both may be combined.
     """
-    if key_range is not None:
+    if key_range is not None or key_equals is not None:
         resolve_schemas = True
     if schema is None:
         schema = arrow_schema_of(blocks)
@@ -194,6 +226,8 @@ def decode_df(
     if key_range is not None:
         # filter AFTER the schema map is built from the unfiltered blocks
         blocks = zone_map_filter(blocks, key_range)
+    if key_equals is not None:
+        blocks = bloom_filter_blocks(blocks, key_equals)
     return blocks.mapInArrow(
         _decode_fn(verify_crc, columns, validate_maps, smap), schema=schema
     )

@@ -42,7 +42,11 @@ BLOCKS_DDL = (
     # while CAST(... AS BIGINT) still recovers the value.
     "n_rows long, payload binary, "
     "schema_id string, schema binary, meta string, raw_bytes long, "
-    "enc_bytes long, zebra_bytes long, crc32 long"
+    "enc_bytes long, zebra_bytes long, crc32 long, "
+    # key_bloom: OPT-IN per-block Bloom filter words over key_col
+    # (codec/bloom.py) — point-lookup block skipping on layouts where
+    # zone maps can't help; NULL unless encode_df(key_bloom=True)
+    "key_bloom array<bigint>"
 )
 
 _OUT_SCHEMA = pa.schema(
@@ -60,6 +64,7 @@ _OUT_SCHEMA = pa.schema(
         ("enc_bytes", pa.int64()),
         ("zebra_bytes", pa.int64()),
         ("crc32", pa.int64()),
+        ("key_bloom", pa.list_(pa.int64())),
     ]
 )
 
@@ -92,12 +97,35 @@ def _batch_cells(rb: pa.RecordBatch) -> int:
     return total
 
 
+def _key_bloom_words(key_arr: pa.Array):
+    """Bloom words (python list of signed int64) for one block's keys;
+    string keys hash via string_key_to_int64 (per-row md5 — the opt-in's
+    documented cost on string keys; int keys are fully vectorized)."""
+    from ..codec.bloom import bloom_build, string_key_to_int64
+
+    t = key_arr.type
+    if pa.types.is_integer(t):
+        keys = key_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        keys = np.fromiter(
+            (string_key_to_int64(v.as_py()) for v in key_arr),
+            dtype=np.int64,
+            count=len(key_arr),
+        )
+    else:
+        raise ValueError(
+            f"key_bloom requires an int or string key column, got {t}"
+        )
+    return bloom_build(keys).view(np.int64).tolist()
+
+
 def encode_chunk_rows(
     rb: pa.RecordBatch,
     task_tag: str | None = None,
     rows_per_block: int = 1 << 16,
     max_block_values: int = 1 << 22,
     key_col: str | None = None,
+    key_bloom: bool = False,
     _state: dict | None = None,
     field_meta: dict | None = None,
 ) -> Iterator[pa.RecordBatch]:
@@ -140,10 +168,13 @@ def encode_chunk_rows(
         payload, meta = encode_batch(chunk)
         first_key = _key_str(chunk.column(0)[0].as_py())
         key_min = key_max = None
+        bloom = None
         if key_col is not None:
             mm = pa.compute.min_max(chunk.column(key_col))
             key_min = _key_str(mm["min"].as_py())
             key_max = _key_str(mm["max"].as_py())
+            if key_bloom:
+                bloom = _key_bloom_words(chunk.column(key_col))
         seq = state["seq"]
         state["seq"] += 1
         ship_schema = schema_id not in emitted
@@ -163,13 +194,14 @@ def encode_chunk_rows(
                 "enc_bytes": [meta["enc_bytes"]],
                 "zebra_bytes": [meta["zebra_bytes"]],
                 "crc32": [zlib.crc32(payload)],
+                "key_bloom": [bloom],
             },
             schema=_OUT_SCHEMA,
         )
 
 
 def _encode_fn(rows_per_block: int, key_col: str | None = None,
-               field_meta: str | None = None):
+               field_meta: str | None = None, key_bloom: bool = False):
     def encode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         warm_codec()
         task_id = uuid.uuid4().hex[:12]
@@ -180,6 +212,7 @@ def _encode_fn(rows_per_block: int, key_col: str | None = None,
                 task_tag=task_id,
                 rows_per_block=rows_per_block,
                 key_col=key_col,
+                key_bloom=key_bloom,
                 _state=state,
                 field_meta=field_meta,
             )
@@ -188,7 +221,7 @@ def _encode_fn(rows_per_block: int, key_col: str | None = None,
 
 
 def _encode_grouped_fn(rows_per_block: int, key_col: str | None, group_col: str,
-                       field_meta: str | None = None):
+                       field_meta: str | None = None, key_bloom: bool = False):
     """Encode fn that guarantees NO BLOCK SPANS TWO GROUP VALUES: each Arrow
     batch is stable-sorted by ``group_col``, split at group boundaries, and
     each run encoded separately with the group value carried on its block
@@ -221,6 +254,7 @@ def _encode_grouped_fn(rows_per_block: int, key_col: str | None, group_col: str,
                     task_tag=f"{task_id}u{unit_val}",
                     rows_per_block=rows_per_block,
                     key_col=key_col,
+                    key_bloom=key_bloom,
                     _state=states.setdefault(unit_val, {"seq": 0}),
                     field_meta=field_meta,
                 ):
@@ -238,6 +272,7 @@ def encode_df(
     salt_buckets: int = 0,
     key_col: str | None = None,
     group_col: str | None = None,
+    key_bloom: bool = False,
 ) -> DataFrame:
     """Encode ``df`` into a blocks DataFrame.
 
@@ -245,7 +280,15 @@ def encode_df(
     before encoding so a skewed key (e.g. source="web" at 55%) spreads over
     many tasks instead of one straggler.  The salt is derived from a stable
     hash of all columns, not rand(), so encode output is deterministic.
+
+    ``key_bloom`` (requires ``key_col``): store a per-block Bloom filter
+    over the key column (codec/bloom.py, ~1 byte/key) so
+    ``decode_df(key_equals=...)`` point lookups skip blocks on ANY layout
+    — zone maps only skip when the layout clusters the key.  Opt-in: the
+    storage cost buys nothing for pure range/scan workloads.
     """
+    if key_bloom and key_col is None:
+        raise ValueError("key_bloom requires key_col")
     if salt_col is not None and salt_buckets > 0:
         salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
         df = df.repartition(F.col(salt_col), salt)
@@ -264,11 +307,14 @@ def encode_df(
         )
         field_meta = sub.json() if _has_metadata(sub) else None
         return df.mapInArrow(
-            _encode_grouped_fn(rows_per_block, key_col, group_col, field_meta),
+            _encode_grouped_fn(
+                rows_per_block, key_col, group_col, field_meta, key_bloom
+            ),
             schema=BLOCKS_DDL + ", unit int",
         )
     return df.mapInArrow(
-        _encode_fn(rows_per_block, key_col, field_meta), schema=BLOCKS_DDL
+        _encode_fn(rows_per_block, key_col, field_meta, key_bloom),
+        schema=BLOCKS_DDL,
     )
 
 
