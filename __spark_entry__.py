@@ -758,29 +758,42 @@ def _q_projection_pushdown(spark, sf_dir):
 
 
 def _q_projection_and_range_pushdown(spark, sf_dir):
-    """The 100 TB read path in one plan: block-level column pruning AND
-    zone-map block skipping.  Rows are range-laid-out on doc_id, encoded
-    with key_col zone maps (the min/max key discipline of the reference's
-    Summary.hs:64-100 / Consistency.hs:77-125), then a 2-column read over
-    doc_id in [100, 299] (a) skips non-intersecting blocks entirely before
-    the decode UDF (zone_map_filter on two slim string columns) and
-    (b) skips the text/source/n_chars sections of surviving blocks without
-    decompression.  The residual row predicate after decode makes the
-    result exact (zone maps are block-granular)."""
+    """The 100 TB read path in one plan: block-level column pruning,
+    zone-map RANGE skipping, and Bloom POINT-lookup skipping.  Rows are
+    range-laid-out on doc_id, encoded with key_col zone maps (the min/max
+    key discipline of the reference's Summary.hs:64-100 /
+    Consistency.hs:77-125) plus opt-in per-block Bloom filters
+    (codec/bloom.py).  Partition 'range': a 2-column read over doc_id in
+    [100, 299] — non-intersecting blocks drop before the decode UDF and
+    unread sections of surviving blocks skip without decompression.
+    Partition 'point': key_equals=[7, 421] — blocks skip via the pure-
+    Catalyst Bloom probe (no false negatives; the residual predicate
+    absorbs false positives).  Residual row predicates make both exact
+    (all block skipping is block-granular)."""
     from zebra_spark.operators.decode import decode_df
     from zebra_spark.operators.encode import encode_df
 
     docs = _load(spark, sf_dir, "documents").orderBy("doc_id")
     blocks = encode_df(
-        docs, rows_per_block=64, key_col="doc_id"
+        docs, rows_per_block=64, key_col="doc_id", key_bloom=True
     ).localCheckpoint()
-    out = decode_df(
-        blocks,
-        schema=docs.schema,
-        columns=["doc_id", "lang"],
-        key_range=(100, 299),
+
+    def read(**kw):
+        return decode_df(
+            blocks, schema=docs.schema, columns=["doc_id", "lang"], **kw
+        )
+
+    ranged = (
+        read(key_range=(100, 299))
+        .filter(F.col("doc_id").between(100, 299))
+        .withColumn("part", F.lit("range"))
     )
-    return out.filter(F.col("doc_id").between(100, 299))
+    point = (
+        read(key_equals=[7, 421])
+        .filter(F.col("doc_id").isin([7, 421]))
+        .withColumn("part", F.lit("point"))
+    )
+    return ranged.unionByName(point)
 
 
 def _q_ztxt_roundtrip(spark, sf_dir):
@@ -1618,7 +1631,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM base"
         ),
         "projection_and_range_pushdown": (
-            "SELECT doc_id, lang FROM documents WHERE doc_id BETWEEN 100 AND 299"
+            "SELECT doc_id, lang, 'range' AS part FROM documents "
+            "WHERE doc_id BETWEEN 100 AND 299 "
+            "UNION ALL "
+            "SELECT doc_id, lang, 'point' FROM documents "
+            "WHERE doc_id IN (7, 421)"
         ),
         "ztxt_roundtrip": (
             "SELECT doc_id, lang, "
