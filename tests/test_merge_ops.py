@@ -331,3 +331,29 @@ def test_grouped_encode_metadata_decode_without_schema(spark):
     assert [f.name for f in rt.schema.fields] == ["id", "opt", "d"]
     want = df.drop("__unit")
     assert rt.exceptAll(want).count() == 0 and want.exceptAll(rt).count() == 0
+
+
+def test_checkpointed_encode_carries_zone_maps_and_blooms(spark, tmp_path):
+    """The production entrypoint's blocks carry the read-path skip
+    structures (r6): key_col zone maps + opt-in Bloom filters survive the
+    partitionBy(unit) write, and a stored-blocks point lookup skips."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.operators.decode import bloom_filter_blocks
+
+    df = f1_table(spark, 800, partitions=2, rows_per_batch=256).cache()
+    out = str(tmp_path / "ckpt_zm")
+    checkpointed_encode(
+        spark, df, out, ["doc_id"], n_units=3, rows_per_block=128,
+        key_col="doc_id", key_bloom=True,
+    )
+    blocks = read_checkpointed_blocks(spark, out)
+    assert blocks.filter(F.col("key_min").isNull()).count() == 0
+    assert blocks.filter(F.col("key_bloom").isNull()).count() == 0
+    target = df.select("doc_id").head()[0]  # string key (F1 doc ids)
+    kept = bloom_filter_blocks(blocks, target)
+    assert 0 < kept.count() < blocks.count()
+    got = decode_df(
+        blocks, schema=df.schema, key_equals=target, resolve_schemas=True
+    ).filter(F.col("doc_id") == target)
+    assert got.count() == df.filter(F.col("doc_id") == target).count()

@@ -53,6 +53,16 @@ def main():
         ),
     )
     ap.add_argument("--unit-cols", default=None, help="comma list; default: all columns")
+    ap.add_argument(
+        "--key-col", default=None,
+        help="key column: blocks carry key_min/key_max zone maps for "
+             "range-skipping reads (decode_df(key_range=...))",
+    )
+    ap.add_argument(
+        "--key-bloom", action="store_true",
+        help="with --key-col: store per-block Bloom filters (~1 byte/key) "
+             "for point-lookup block skipping (decode_df(key_equals=...))",
+    )
     ap.add_argument("--master", default=None, help="override master (default: cluster/local env)")
     ap.add_argument(
         "--policy",
@@ -114,6 +124,8 @@ def main():
         args.unit_cols.split(",") if args.unit_cols else list(df.columns[:1])
     )
     done_before = committed_units(args.output)
+    if args.key_bloom and not args.key_col:
+        raise SystemExit("--key-bloom requires --key-col")
     encoded = checkpointed_encode(
         spark,
         df,
@@ -121,6 +133,8 @@ def main():
         unit_cols,
         n_units=args.units,
         rows_per_block=args.rows_per_block,
+        key_col=args.key_col,
+        key_bloom=args.key_bloom,
     )
     print(
         f"resumed-from={len(done_before)} units, encoded-now={len(encoded)} units"

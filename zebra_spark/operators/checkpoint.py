@@ -54,6 +54,8 @@ def checkpointed_encode(
     rows_per_block: int = 1 << 16,
     units_per_commit: int | None = None,
     fail_after_units: int | None = None,
+    key_col: str | None = None,
+    key_bloom: bool = False,
 ) -> list[int]:
     """Encode all missing units, committing in bounded batches.
 
@@ -99,8 +101,14 @@ def checkpointed_encode(
         batch = todo[start : start + units_per_commit]
         part = tagged.filter(F.col("__unit").isin(batch))
         part = part.repartition(F.col("__unit"))
+        # key_col/key_bloom: production blocks should carry the zone maps
+        # (and optionally Bloom filters) the read path skips on
         blocks = encode_df(
-            part, rows_per_block=rows_per_block, group_col="__unit"
+            part,
+            rows_per_block=rows_per_block,
+            group_col="__unit",
+            key_col=key_col,
+            key_bloom=key_bloom,
         )
         (
             blocks.write.mode("overwrite")
