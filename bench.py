@@ -175,8 +175,8 @@ def _retry_lane(run, is_valid, better):
 
 from zebra_spark.bench_kernel import grant_work as _grant_work
 
-GATE_BAR = float(os.environ.get("ZS_GRANT_GATE_BAR", "0.88"))
-GATE_MAX_SKIPS = int(os.environ.get("ZS_GRANT_GATE_MAX_SKIPS", "10"))
+GATE_BAR = float(os.environ.get("ZS_GRANT_GATE_BAR", "0.92"))
+GATE_MAX_SKIPS = int(os.environ.get("ZS_GRANT_GATE_MAX_SKIPS", "16"))
 GATE_SLEEP = float(os.environ.get("ZS_GRANT_GATE_SLEEP", "25"))
 GATE_PASSES = int(os.environ.get("ZS_GRANT_GATE_PASSES", "150"))
 # iteration validity: lo-leg absolute rate (unthrottled single-core encode
