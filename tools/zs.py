@@ -326,9 +326,12 @@ def cmd_merge(args):
             )
         )
         return
-    encode_df(merged, rows_per_block=args.rows_per_block).write.mode(
-        "overwrite"
-    ).parquet(args.output)
+    # merged blocks carry zone maps on the first merge key: the merge
+    # output is exactly the table later read back BY KEY, so keyed reads
+    # (decode_df key_range / zs cat --key-range) can skip blocks
+    encode_df(
+        merged, rows_per_block=args.rows_per_block, key_col=keys[0]
+    ).write.mode("overwrite").parquet(args.output)
     print(
         json.dumps(
             {

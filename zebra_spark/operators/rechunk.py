@@ -24,13 +24,25 @@ def rechunk_blocks(
     rows_per_block: int,
     schema=None,
     coalesce_partitions: int | None = None,
+    key_col: str | None = None,
+    key_bloom: bool = False,
 ) -> DataFrame:
     """Re-encode a blocks table at ``rows_per_block``.
 
     ``coalesce_partitions``: optionally reduce task count first so small
     blocks from many tasks merge into full-size blocks (rechunk-compact).
+
+    ``key_col``/``key_bloom``: re-emit the read-path skip structures
+    (zone maps / Bloom filters) on the compacted blocks — at 100 TB a
+    compaction that silently drops them turns every later keyed read
+    into a full scan.
     """
     decoded = decode_df(blocks, schema=schema)
     if coalesce_partitions is not None:
         decoded = decoded.coalesce(coalesce_partitions)
-    return encode_df(decoded, rows_per_block=rows_per_block)
+    return encode_df(
+        decoded,
+        rows_per_block=rows_per_block,
+        key_col=key_col,
+        key_bloom=key_bloom,
+    )
