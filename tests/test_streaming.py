@@ -86,3 +86,36 @@ def test_windowed_ingest_stats_with_watermark(spark, tmp_path):
         | (got["total_chars"] != oracle["total_chars"])
     )
     assert mismatches.count() == 0
+
+
+def test_streaming_encode_emits_skip_structures(spark, tmp_path):
+    """Streaming blocks carry zone maps + Bloom filters when asked; a
+    point lookup over the landed blocks table skips."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.operators.decode import bloom_filter_blocks, decode_df
+    from zebra_spark.sources.synth import f1_table
+
+    src_dir = str(tmp_path / "src")
+    f1_table(spark, 600, partitions=2, rows_per_batch=128).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+    out = str(tmp_path / "blocks")
+    ckpt = str(tmp_path / "ckpt")
+    from zebra_spark.streaming.encode_stream import encode_stream
+
+    q = encode_stream(
+        stream, out, ckpt, rows_per_block=64, key_col="doc_id", key_bloom=True
+    )
+    q.awaitTermination()
+    blocks = spark.read.parquet(out)
+    assert blocks.filter(F.col("key_min").isNull()).count() == 0
+    assert blocks.filter(F.col("key_bloom").isNull()).count() == 0
+    df = spark.read.parquet(src_dir)
+    target = df.select("doc_id").head()[0]
+    assert 0 < bloom_filter_blocks(blocks, target).count() < blocks.count()
+    got = decode_df(blocks, schema=df.schema, key_equals=target).filter(
+        F.col("doc_id") == target
+    )
+    assert got.count() == df.filter(F.col("doc_id") == target).count()

@@ -27,16 +27,29 @@ def encode_stream(
     checkpoint_dir: str,
     rows_per_block: int = 1 << 16,
     trigger_available_now: bool = True,
+    key_col: str | None = None,
+    key_bloom: bool = False,
 ) -> StreamingQuery:
     """Start a streaming encode of ``source`` (a streaming DataFrame).
 
     Returns the StreamingQuery; callers await/stop it.  Exactly-once:
     the streaming checkpoint tracks source offsets, and each micro-batch
     appends its blocks in one parquet job.
+
+    ``key_col``/``key_bloom``: emit zone maps (and optionally Bloom
+    filters) on the streamed blocks so keyed reads of the landing table
+    skip — streaming micro-batch blocks are exactly the small-and-many
+    blocks where per-block skipping pays most (rechunk_blocks keeps the
+    structures when compacting them later).
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        blocks = encode_df(batch_df, rows_per_block=rows_per_block)
+        blocks = encode_df(
+            batch_df,
+            rows_per_block=rows_per_block,
+            key_col=key_col,
+            key_bloom=key_bloom,
+        )
         blocks.write.mode("append").parquet(out_dir)
 
     writer = (
