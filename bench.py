@@ -187,6 +187,10 @@ GATE_PASSES = int(os.environ.get("ZS_GRANT_GATE_PASSES", "150"))
 MIN_LO_RATE = float(os.environ.get("ZS_BENCH_MIN_LO_RATE", "2.5e6"))
 HI_SPREAD_MAX = float(os.environ.get("ZS_BENCH_HI_SPREAD_MAX", "0.25"))
 MAX_ITERS = int(os.environ.get("ZS_BENCH_MAX_ITERS", "7"))
+# post-iteration grant reading must still clear ~the gate (slightly
+# relaxed for the ~1 s reading's own noise): a window that decays
+# smoothly mid-iteration passes the spread check but caps the HI legs
+GATE_POST_BAR = float(os.environ.get("ZS_GRANT_GATE_POST_BAR", "0.85"))
 
 
 class GrantGate:
@@ -300,8 +304,8 @@ def scaling_sweep():
     best = {LO: None, HI: None}
     totals = {LO: None, HI: None}
     samples = {LO: [], HI: []}
-    pal_pairs = []  # per-iteration palindrome (lo_sum, hi_sum)
-    gate_log, skips = [], 0
+    pal_pairs = []  # per-iteration palindrome (lo_mean, hi_mean)
+    gate_log, gate_post, skips = [], [], 0
     # start both level workers first (their warm-ups run concurrently,
     # excluded per protocol), then the grant gate
     workers = {n: BenchWorker(n, F1_SCALING_PATH) for n in (LO, HI)}
@@ -352,9 +356,18 @@ def scaling_sweep():
             # direction.  Direction-blind validity signal, like lo_rate.
             h1, h2 = it_times[HI]
             hi_spreads.append(abs(h1 - h2) / min(h1, h2))
+            # POST-gate: the measurement's precondition (host grants ~HI
+            # cores) must hold for the WHOLE iteration — a window that
+            # decays smoothly after the pre-gate passes the spread check
+            # yet caps the HI legs (observed: spreads 0.05-0.06 with
+            # pairs ~0.70 in decayed windows).  Re-read the grant after
+            # the legs; direction-blind like the other signals.
+            g2 = gate.reading()
+            gate_post.append(g2["efficiency"])
             iters_done += 1
             if (
                 hi_spreads[-1] <= HI_SPREAD_MAX
+                and g2["efficiency"] >= GATE_POST_BAR
                 and n_tokens / pal_pairs[-1][0] >= MIN_LO_RATE
             ):
                 valid_done += 1
@@ -392,7 +405,9 @@ def scaling_sweep():
     valid = [
         i
         for i, r in enumerate(lo_rates)
-        if r >= MIN_LO_RATE and hi_spreads[i] <= HI_SPREAD_MAX
+        if r >= MIN_LO_RATE
+        and hi_spreads[i] <= HI_SPREAD_MAX
+        and gate_post[i] >= GATE_POST_BAR
     ]
     throttled_run = not valid
     use = valid if valid else list(range(len(eff_pairs)))
@@ -427,6 +442,8 @@ def scaling_sweep():
         "grant_gate": {
             "bar": GATE_BAR,
             "readings": gate_log,
+            "post_bar": GATE_POST_BAR,
+            "post_readings": gate_post,
             "windows_skipped": skips,
         },
         "compression_vs_zebra": round(hi["enc_bytes"] / hi["zebra_bytes"], 4),
