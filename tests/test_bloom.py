@@ -147,3 +147,34 @@ def test_string_key_bloom_end_to_end(spark):
     )
     want = docs.filter(F.col("source") == "code")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_key_range_and_key_equals_compose(spark):
+    """decode_df accepts both skip predicates at once: zone maps drop
+    out-of-range blocks, blooms drop non-matching blocks, result exact."""
+    from pyspark.sql import functions as F
+
+    from zebra_spark.operators.decode import decode_df
+    from zebra_spark.operators.encode import encode_df
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .orderBy("doc_id")
+        .cache()
+    )
+    blocks = encode_df(
+        docs, rows_per_block=16, key_col="doc_id", key_bloom=True
+    ).localCheckpoint()
+    targets = [5, 40, 90]
+    got = decode_df(
+        blocks,
+        schema=docs.schema,
+        key_range=(0, 50),  # drops the block holding 90 via zone maps
+        key_equals=targets,
+    ).filter(F.col("doc_id").isin(targets) & F.col("doc_id").between(0, 50))
+    want = docs.filter(F.col("doc_id").isin([5, 40]))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    n_blocks_decoded = decode_df(
+        blocks, schema=docs.schema, key_range=(0, 50), key_equals=targets
+    ).count()
+    assert n_blocks_decoded < docs.count() / 2  # both predicates skipped
