@@ -121,7 +121,13 @@ def _int_kind(t: pa.DataType):
 
 
 def _storage_int64(arr: pa.Array) -> np.ndarray:
-    """Null-filled int64 view of an int-like arrow array (bit-preserving)."""
+    """Null-filled int storage of an int-like arrow array (bit-preserving).
+
+    r7: signed int8/16/32 (and date32 via the storage view) return their
+    NATIVE numpy dtype instead of widening to int64 — encode_ints plans
+    natively-narrow columns at the narrow width (half the memory traffic on
+    the hot token stream) and only materializes int64 where a codec needs
+    it; the wire bytes are value-determined and unchanged."""
     t = arr.type
     kind = _int_kind(t)
     if arr.null_count:
@@ -139,7 +145,13 @@ def _storage_int64(arr: pa.Array) -> np.ndarray:
         # arrow cannot cast every temporal type to int64 directly
         storage = pa.int32() if t.bit_width == 32 else pa.int64()
         arr = arr.view(storage)
+    if arr.type.id in _NARROW_NATIVE:
+        # zero-copy for the common narrow case; the codec plans natively
+        return arr.to_numpy(zero_copy_only=False)
     return pc.cast(arr, pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+
+
+_NARROW_NATIVE = {pa.int8().id, pa.int16().id, pa.int32().id}
 
 
 _NP_INT = {
@@ -231,7 +243,9 @@ def _encode_column(
         flags |= 1
     out.append(bytes([flags]))
     if has_nulls:
-        valid = _validity_np(arr).astype(_I64)
+        # bool -> int8 is a zero-copy reinterpretation; the codec plans
+        # narrow dtypes natively (values 0/1, wire unchanged)
+        valid = _validity_np(arr).view(np.int8)
         c, p, m = encode_ints(valid, probe_key=key and key + "#valid")
         out.append(bytes([c]))
         out.append(p)
@@ -265,7 +279,8 @@ def _encode_column(
         lengths_arr = pc.list_value_length(arr)
         if lengths_arr.null_count:
             lengths_arr = pc.fill_null(lengths_arr, 0)
-        lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
+        # int32 for list / int64 for large_list — the codec takes either
+        lengths = lengths_arr.to_numpy(zero_copy_only=False)
         child = arr.flatten()  # concatenated values of valid rows only
         c, p, m = encode_ints(lengths, probe_key=key and key + "#len")
         out.append(bytes([c]))
@@ -287,7 +302,7 @@ def _encode_column(
         lengths_arr = pc.list_value_length(as_list)
         if lengths_arr.null_count:
             lengths_arr = pc.fill_null(lengths_arr, 0)
-        lengths = pc.cast(lengths_arr, pa.int64()).to_numpy(zero_copy_only=False)
+        lengths = lengths_arr.to_numpy(zero_copy_only=False)
         child = as_list.flatten()
         c, p, m = encode_ints(lengths, probe_key=key and key + "#len")
         out.append(bytes([c]))

@@ -152,7 +152,15 @@ def encode_ints(
     and the winner's plan assembles the payload without recomputation.
     Expensive candidates are gated by cheap sampled stats.
     """
-    values = np.ascontiguousarray(values, dtype=_I64)
+    # r7: narrow signed ints stay at their native width through planning
+    # (see plan_int_array) — every candidate below either handles the
+    # narrow dtype or widens explicitly with dtype=_I64, so the selected
+    # wire bytes are identical to the int64-everywhere pipeline
+    values = np.ascontiguousarray(values)
+    if values.dtype != _I64 and values.dtype not in (
+        np.dtype(np.int8), np.dtype(np.int16), np.dtype(np.int32)
+    ):
+        values = values.astype(_I64)
     n = len(values)
 
     hint = None
@@ -382,6 +390,19 @@ def _zstd_bt_narrow(values: np.ndarray, vmin: int, vmax: int):
     same wrapping arithmetic)."""
     rng = vmax - vmin  # exact python ints, no overflow
     width = 1 if rng < (1 << 8) else 2 if rng < (1 << 16) else 4 if rng < (1 << 32) else 8
+    if values.dtype != _I64:
+        # narrow native input (r7): the range is bounded below 2^32 by the
+        # dtype, so the modular FoR subtract can run at 32 bits — same
+        # low-byte image as the int64 path (the modular argument above),
+        # at half the memory traffic on the hot token stream
+        with np.errstate(over="ignore"):
+            d32 = np.subtract(values, np.int32(vmin), dtype=np.int32).view(
+                np.uint32
+            )
+        narrow = d32 if width == 4 else d32.astype(
+            {1: np.uint8, 2: np.uint16}[width]
+        )
+        return width, narrow
     with np.errstate(over="ignore"):
         d = np.subtract(values, vmin, dtype=_I64).view(np.uint64)
     if width == 8:
@@ -679,7 +700,9 @@ def _pfor_build(values: np.ndarray, zplan, hint_b: int | None = None):
     """
     n = len(values)
     with np.errstate(over="ignore"):
-        u = (values - _I64(zplan.vmin)).view(np.uint64)
+        # explicit dtype: values may be a narrow native int (r7); the
+        # subtract must run (and wrap) in int64 exactly as before
+        u = np.subtract(values, zplan.vmin, dtype=_I64).view(np.uint64)
     n_groups = -(-n // 64)
 
     def cost_exact(b: int):
@@ -830,7 +853,7 @@ def _dict_split(values: np.ndarray, zplan):
         ):
             return None
     if 0 <= value_range <= (1 << 21):
-        shifted = (values - zplan.vmin).astype(np.int64)
+        shifted = np.subtract(values, zplan.vmin, dtype=np.int64)
         counts = np.bincount(shifted, minlength=value_range + 1)
         nz = np.nonzero(counts)[0]
         if len(nz) > n // 2:
