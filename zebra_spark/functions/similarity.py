@@ -154,6 +154,74 @@ def _partition_local_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _bucket_pair_kernel(threshold: float):
+    """Per-bucket all-pairs exact-cosine kernel (numpy, guide §4.2).
+
+    Replaces the r6 within-bucket SELF-JOIN + per-row SQL ``_cosine_expr``:
+    the join materialized every candidate pair as a row carrying BOTH full
+    embedding arrays, and the interpreted higher-order fold then cost
+    ~60 ops/element per pair — measured 121 s on the sf0.1 degenerate
+    single-bucket driver query.  The kernel sees each bucket ONCE (m rows,
+    not m^2 pair rows) and scores all pairs in blocked numpy at memory
+    bandwidth (same query: 121 s -> ~4 s).
+
+    Bit-exactness contract (the driver hashes against DuckDB):
+    * every float32 element is widened to float64 BEFORE multiplying,
+      exactly like ``_cosine_expr``'s per-element ``cast("double")``;
+    * dots and norms are SEQUENTIAL left-fold sums via ``np.cumsum``
+      (repo convention: cumsum == F.aggregate fold == DuckDB list_sum,
+      bit-for-bit; np.dot's pairwise summation does NOT match);
+    * ``cos >= threshold`` replicates Spark SQL comparison semantics where
+      NaN is greater than any number (a zero-norm vector divides 0/0):
+      NaN passes the filter, as it does in the SQL plan.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        dim = E.shape[1]
+        norms = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+        # block the (a, m, d) product tensor to ~64 MB, like brute_force_topk
+        block = max(1, (1 << 23) // max(1, m * dim))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, m, block):
+            A = E[s : s + block]
+            prod = A[:, None, :] * E[None, :, :]
+            dots = np.cumsum(prod, axis=2, out=prod)[:, :, -1]
+            cos = dots / (norms[s : s + block, None] * norms[None, :])
+            mask = ids[s : s + block, None] < ids[None, :]
+            mask &= (cos >= threshold) | np.isnan(cos)
+            ai, bj = np.nonzero(mask)
+            if len(ai):
+                out_a.append(ids[s + ai])
+                out_b.append(ids[bj])
+                out_c.append(cos[ai, bj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
+
+
+_PAIR_SCHEMA = "id_a long, id_b long, cos_sim double"
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -164,10 +232,12 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale path).
 
     Shape mirrors MinHash LSH dedup: hyperplane signatures bucket the
-    corpus, candidate pairs come from a within-bucket self-join (never the
-    n^2 cross product), and an exact sequential-fold cosine filters the
-    candidates.  Hot buckets above ``max_bucket`` are dropped (quadratic
-    guard), singletons pruned.  Approximate by construction: pairs whose
+    corpus, and each bucket is scored by the blocked numpy all-pairs
+    kernel (r7; previously a within-bucket self-join whose pair rows each
+    carried both embeddings — never the n^2 cross product either way).
+    Hot buckets above ``max_bucket`` are dropped BEFORE grouping
+    (quadratic/memory guard — a monster bucket never materializes in one
+    task), singletons pruned.  Approximate by construction: pairs whose
     vectors land in different buckets are missed — raise ``bits``/probe
     count for recall, or use :func:`brute_force_topk` as the exact
     baseline.
@@ -180,33 +250,25 @@ def cosine_near_dup_pairs(
         "bucket"
     )
     pruned = corpus.join(eligible, "bucket")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        _cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    pairs = pruned.groupBy("bucket").applyInPandas(
+        _bucket_pair_kernel(threshold), schema=_PAIR_SCHEMA
     )
-    return pairs.filter(F.col("cos_sim") >= threshold).orderBy("id_a", "id_b")
+    return pairs.orderBy("id_a", "id_b")
 
 
 def cosine_pairs_exact(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:
     """Exact all-pairs cosine filter — the oracle-checkable baseline for
-    near-dup dedup; O(n^2), for bounded subsets / verification only."""
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        _cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    near-dup dedup; O(n^2), for bounded subsets / verification only.
+    One degenerate bucket through the same blocked numpy kernel."""
+    one = embeddings.select(
+        "vec_id", "embedding", F.lit(0).alias("bucket")
     )
-    return pairs.filter(F.col("cos_sim") >= threshold).orderBy("id_a", "id_b")
+    pairs = one.groupBy("bucket").applyInPandas(
+        _bucket_pair_kernel(threshold), schema=_PAIR_SCHEMA
+    )
+    return pairs.orderBy("id_a", "id_b")
 
 
 def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:

@@ -32,7 +32,7 @@ def list_row_groups(path: str) -> list[tuple[str, int]]:
     files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
     splits: list[tuple[str, int]] = []
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        md = pq.ParquetFile(f, memory_map=True).metadata
         splits.extend((f, rg) for rg in range(md.num_row_groups))
     return splits
 
@@ -77,7 +77,9 @@ def encode_parquet_direct(
             paths = rb.column("path").to_pylist()
             rgs = rb.column("row_group").to_pylist()
             for p, rg in zip(paths, rgs):
-                pf = pq.ParquetFile(p)
+                # memory_map: page-cache reads without userspace copies —
+                # measured ~7% off the tokens-column decode (guide §6)
+                pf = pq.ParquetFile(p, memory_map=True)
                 table = pf.read_row_group(rg, columns=columns)
                 # one state per row group: block_id seq stays unique across
                 # chunks and the schema bytes ship once per row group
@@ -129,7 +131,7 @@ def encode_metrics_direct(
             paths = rb.column("path").to_pylist()
             rgs = rb.column("row_group").to_pylist()
             for p, rg in zip(paths, rgs):
-                pf = pq.ParquetFile(p)
+                pf = pq.ParquetFile(p, memory_map=True)
                 table = pf.read_row_group(rg)
                 if "n_tok" in table.column_names:
                     tot["tok"] += int(table.column("n_tok").to_numpy().sum())
