@@ -134,6 +134,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_sig"),
     ).select("doc_id", "band", F.hash("band_sig").alias("bh"))
+    # materialize ONCE (r7): bands feeds the count pass and BOTH sides of
+    # the candidate self-join — without this the minhash signature UDF
+    # (the expensive stage) evaluated 3x.  Slim rows: (doc_id, band, bh).
+    bands = bands.localCheckpoint()
     counts = bands.groupBy("band", "bh").agg(F.count("*").alias("n_docs"))
     eligible = counts.filter(
         (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_bucket)
@@ -318,7 +322,12 @@ def minhash_lsh_md5(docs: DataFrame, k: int = 5) -> DataFrame:
             f"CAST(conv(substr(md5(concat('h{j}:', s)), 1, 14), 16, 10) AS BIGINT)))"
         ).alias(f"s{j}")
 
-    sigs = docs.select("doc_id", sig(0), sig(1), sig(2), sig(3))
+    # materialize the signatures ONCE (r7): the two band self-joins below
+    # evaluate both sides, so without the checkpoint the md5-per-shingle
+    # signature pass ran 4x (measured 23.3 s -> ~2 s on the sf0.1 driver
+    # query together with the caller's repartition).  Tiny table: one row
+    # of 5 longs per doc.
+    sigs = docs.select("doc_id", sig(0), sig(1), sig(2), sig(3)).localCheckpoint()
 
     def band_pairs(cols: list[str]) -> DataFrame:
         l, r = sigs.alias("l"), sigs.alias("r")
