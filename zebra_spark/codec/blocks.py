@@ -404,7 +404,11 @@ def _decode_column(mv: memoryview, pos: int, t: pa.DataType, n: int):
 
     if _int_kind(t) is not None:
         c = mv[pos]
-        vals, pos = decode_ints(c, mv, n, pos + 1)
+        # 32-bit columns (int32/uint32/date32/float32-view): hint the
+        # codec to emit int32 directly so the storage->arrow astype below
+        # becomes a no-op (r7; values identical — see decode_ints)
+        prefer = np.int32 if getattr(t, "bit_width", 64) == 32 else None
+        vals, pos = decode_ints(c, mv, n, pos + 1, prefer=prefer)
         return _from_storage_int64(vals, t, mask), pos
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
         t

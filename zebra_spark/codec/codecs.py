@@ -968,8 +968,17 @@ def skip_strings(codec: int, buf, n: int, pos: int = 0) -> int:
     raise ValueError(f"unknown string codec {codec}")
 
 
-def decode_ints(codec: int, buf, n: int, pos: int = 0):
-    """Inverse of :func:`encode_ints`. Returns ``(values, next_pos)``."""
+def decode_ints(codec: int, buf, n: int, pos: int = 0, prefer=None):
+    """Inverse of :func:`encode_ints`. Returns ``(values, next_pos)``.
+
+    ``prefer`` (r7): optional target numpy dtype hint from the caller's
+    schema.  Codecs MAY honor it to emit the narrow dtype directly and
+    skip the downstream int64->narrow astype pass (currently the ZSTD_BT
+    widen+add fuses to int32); codecs that ignore it return int64 as
+    before and the caller's astype handles the narrowing.  Values are
+    identical either way — the hint is only legal when the decoded
+    column's true values fit the preferred dtype (they round-trip a
+    column of that arrow type)."""
     mv = memoryview(buf)
     if codec == IntCodec.ZEBRA:
         return unpack_int_array(mv, n, pos)
@@ -1086,6 +1095,12 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
             bv = u.view(np.uint8).reshape(n, width)
             for p_ in range(width):
                 bv[:, p_] = planes[p_]
+        # narrow fusion (r7): when the caller's schema says the column is
+        # 32-bit, add vmin at int32 width (wrapping == the int64 add's low
+        # 32 bits; true values fit by the round-trip contract) — halves
+        # the widen+add write traffic AND makes the downstream astype a
+        # no-op on the hot token path
+        tgt = np.int32 if prefer is np.int32 and width < 8 else _I64
         if width == 8:
             # uint64 -> int64 is a bit reinterpretation (wrapping); u is
             # decode-owned so the in-place vmin add is safe
@@ -1094,10 +1109,15 @@ def decode_ints(codec: int, buf, n: int, pos: int = 0):
                 with np.errstate(over="ignore"):
                     np.add(out, vmin, out=out)
         elif vmin:
-            # fused widen+add: one int64 pass instead of astype + iadd
-            out = np.add(u, vmin, dtype=_I64)
+            # fused widen+add: one pass instead of astype + iadd
+            with np.errstate(over="ignore"):
+                # wrapping scalar narrow (uint32 columns may carry a vmin
+                # above int32max; the mod-2^32 add is still exact)
+                out = np.add(
+                    u, np.int64(vmin).astype(tgt), dtype=tgt, casting="unsafe"
+                )
         else:
-            out = u.astype(_I64)
+            out = u.astype(tgt)
         return out, pos + 13 + comp_len
     raise ValueError(f"unknown int codec {codec}")
 
