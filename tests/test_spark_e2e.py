@@ -223,6 +223,28 @@ def test_zone_map_string_keys(spark):
     assert_df_equal(want, got)
 
 
+def test_float_keys_rejected(spark):
+    """r7 (ADVICE): float keys stringify unordered ('10.0' < '2.0'), so
+    zone maps built from them silently mis-skip — both the encode-time
+    key_col and a decode-time float bound must raise, not lose rows."""
+    import pytest
+
+    df = spark.range(0, 256).select(
+        (F.col("id") * 0.5).alias("fkey"), F.col("id").alias("v")
+    )
+    with pytest.raises(Exception, match="key_col|float"):
+        encode_df(df, rows_per_block=64, key_col="fkey").count()
+    good = encode_df(
+        spark.range(0, 256).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        rows_per_block=64,
+        key_col="k",
+    ).localCheckpoint()
+    with pytest.raises(TypeError, match="float"):
+        decode_df(good, key_range=(0.5, 10.5)).count()
+    # int/string bounds still work
+    assert decode_df(good, key_range=(0, 63)).count() >= 64
+
+
 def test_encode_metrics_direct_matches_full_encode(spark, tmp_path):
     """The python-side metric fold (scaling-bench leg / dry-run job) must
     report exactly the totals of the full block encode."""

@@ -127,6 +127,17 @@ def zone_map_filter(blocks: DataFrame, key_range) -> DataFrame:
     from .encode import _key_str
 
     lo, hi = key_range
+    for b in (lo, hi):
+        # r7 (ADVICE): float bounds stringify to a non-lexicographically-
+        # ordered form ('10.0' < '2.0'), so blocks holding in-range rows
+        # would be SILENTLY skipped — reject instead of losing rows.  The
+        # zfile range reader has the same int/string discipline
+        # (_validate_key_range); date/datetime stringify ordered.
+        if isinstance(b, float):
+            raise TypeError(
+                "key_range bounds must be int/string/date/timestamp — "
+                f"float bound {b!r} has no order-preserving string form"
+            )
     cond = F.lit(True)
     if lo is not None:
         cond = cond & (F.col("key_max") >= F.lit(_key_str(lo)))

@@ -170,6 +170,15 @@ def encode_chunk_rows(
         key_min = key_max = None
         bloom = None
         if key_col is not None:
+            kt = chunk.column(key_col).type
+            if pa.types.is_floating(kt):
+                # r7 (ADVICE): float keys stringify unordered ('10.0' <
+                # '2.0') — zone maps built from them silently mis-skip on
+                # read.  Fail the encode instead of corrupting reads.
+                raise TypeError(
+                    f"key_col {key_col!r} is {kt}: zone-map keys must be "
+                    "int/string/date/timestamp (order-preserving string form)"
+                )
             mm = pa.compute.min_max(chunk.column(key_col))
             key_min = _key_str(mm["min"].as_py())
             key_max = _key_str(mm["max"].as_py())
