@@ -392,16 +392,20 @@ def _zstd_bt_narrow(values: np.ndarray, vmin: int, vmax: int):
     width = 1 if rng < (1 << 8) else 2 if rng < (1 << 16) else 4 if rng < (1 << 32) else 8
     if values.dtype != _I64:
         # narrow native input (r7): the range is bounded below 2^32 by the
-        # dtype, so the modular FoR subtract can run at 32 bits — same
-        # low-byte image as the int64 path (the modular argument above),
-        # at half the memory traffic on the hot token stream
+        # dtype, so the modular FoR subtract can run AT THE TARGET WIDTH
+        # in one fused pass — subtraction mod 2^w of (values mod 2^w,
+        # vmin mod 2^w) equals the int64 delta's low w bytes (the modular
+        # argument above), and the true delta < 2^(8*width) by
+        # construction, so the narrow image is exact.
+        sdt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+        udt = {1: np.uint8, 2: np.uint16, 4: np.uint32}[width]
         with np.errstate(over="ignore"):
-            d32 = np.subtract(values, np.int32(vmin), dtype=np.int32).view(
-                np.uint32
-            )
-        narrow = d32 if width == 4 else d32.astype(
-            {1: np.uint8, 2: np.uint16}[width]
-        )
+            narrow = np.subtract(
+                values,
+                np.int64(vmin).astype(sdt),
+                dtype=sdt,
+                casting="unsafe",
+            ).view(udt)
         return width, narrow
     with np.errstate(over="ignore"):
         d = np.subtract(values, vmin, dtype=_I64).view(np.uint64)
