@@ -814,3 +814,41 @@ def test_fsst_nspb_sandbox_measurement_regression():
     assert 0 < nspb < float("inf")
     if nspb > 2 * codecs._FSST_NSPB_BUDGET:
         assert not codecs._probe_decode_ok(sample, probe)
+
+
+def test_narrow_native_wire_equality():
+    """r7 invariant: encoding a narrow-dtype array produces byte-identical
+    wire to encoding the same values as int64, for every selected codec —
+    the narrow-native planning path is a pure speed change.  Covers zipf
+    (zstd-bt territory), runs (rle/constant), small-card (dict), ramps
+    (delta/pfor), and decode must round-trip from either encoding."""
+    from zebra_spark.codec import codecs as C
+    from zebra_spark.codec.codecs import decode_ints, encode_ints
+    from zebra_spark.codec.warmup import warm_codec
+
+    warm_codec()
+    rng = np.random.default_rng(7)
+    cases = {
+        "zipf": (rng.zipf(1.3, size=200_000) % 50_000).astype(np.int32),
+        "runs": np.repeat(
+            rng.integers(-5, 5, size=500), rng.integers(1, 900, size=500)
+        ).astype(np.int16)[:100_000],
+        "smallcard": rng.integers(0, 7, size=100_000).astype(np.int8),
+        "ramp": (np.arange(150_000) * 3 + rng.integers(0, 2, 150_000)).astype(
+            np.int32
+        ),
+        "negatives": rng.integers(-(2**31), 2**31, size=66_000).astype(np.int32),
+    }
+    for name, narrow in cases.items():
+        wide = narrow.astype(np.int64)
+        # fresh probe keys so the hint cache cannot couple the two runs
+        c_n, p_n, _ = encode_ints(narrow, probe_key=f"eqn.{name}")
+        c_w, p_w, _ = encode_ints(wide, probe_key=f"eqw.{name}")
+        assert c_n == c_w, (name, c_n, c_w)
+        assert p_n == p_w, f"{name}: narrow wire differs from int64 wire"
+        out64, _ = decode_ints(c_n, p_n, len(narrow))
+        assert out64.dtype == np.int64 and (out64 == wide).all(), name
+        # prefer=int32 fusion must return identical values (int32 inputs)
+        if narrow.dtype == np.int32:
+            out32, _ = decode_ints(c_n, p_n, len(narrow), prefer=np.int32)
+            assert (out32.astype(np.int64) == wide).all(), name
